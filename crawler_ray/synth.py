@@ -1,0 +1,227 @@
+"""Deterministic synthetic corpus generator (FIXTURES.md §1-3).
+
+Generates the "web" the engine crawls: a table of interleaved text+media
+documents where ``doc_id`` is the page URL and ``kind='link'`` spans define the
+crawl graph (BASELINE.json input_hint). Generation is deterministic per
+``(seed, host_index)`` — every host's documents derive from an independent RNG
+stream — so shards can be generated in parallel (driver-side or via Ray tasks)
+and the composed corpus is identical regardless of sharding.
+
+No external data, no network. Pure numpy + pyarrow.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from . import schemas
+
+_WORDS = (
+    "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod "
+    "tempor incididunt ut labore et dolore magna aliqua".split()
+)
+
+
+@dataclass(frozen=True)
+class CorpusSpec:
+    """Parameters of the deterministic corpus (FIXTURES.md §1 defaults)."""
+
+    seed: int = 42
+    n_hosts: int = 8
+    pages_per_host: int = 50
+    min_spans: int = 5
+    max_spans: int = 30
+    p_link: float = 0.3
+    p_media: float = 0.2
+    # p_text = 1 - p_link - p_media
+    p_cross_host: float = 0.1
+    p_dup_link: float = 0.15
+    p_dangling: float = 0.05
+    p_subdomain: float = 0.05
+    hot_host_factor: int = 1          # host 0 gets ×factor pages (skew/salting tests)
+    n_subdomain_pages: int = 3        # pages on sub.{host} so subdomains=True finds them
+
+    def host(self, i: int) -> str:
+        return f"site-{i:04d}.test"
+
+    def host_page_count(self, i: int) -> int:
+        return self.pages_per_host * (self.hot_host_factor if i == 0 else 1)
+
+    def cache_key(self) -> str:
+        return hashlib.sha1(repr(self).encode()).hexdigest()[:12]
+
+
+def _host_rng(spec: CorpusSpec, host_index: int) -> np.random.Generator:
+    return np.random.default_rng(np.random.SeedSequence([spec.seed, host_index]))
+
+
+def _page_urls(spec: CorpusSpec, i: int) -> list[str]:
+    host = spec.host(i)
+    urls = [f"https://{host}/"]
+    urls += [f"https://{host}/page-{j:04d}" for j in range(1, spec.host_page_count(i))]
+    return urls
+
+
+def _sub_urls(spec: CorpusSpec, i: int) -> list[str]:
+    host = spec.host(i)
+    return [f"https://sub.{host}/page-{j:04d}" for j in range(spec.n_subdomain_pages)]
+
+
+def gen_host_docs(spec: CorpusSpec, host_index: int) -> pa.Table:
+    """All corpus rows for one host: landing page, content pages, subdomain
+    pages, and the sitemap doc. Deterministic in (spec.seed, host_index)."""
+    rng = _host_rng(spec, host_index)
+    host = spec.host(host_index)
+    pages = _page_urls(spec, host_index)
+    subs = _sub_urls(spec, host_index)
+    all_docs = pages + subs
+
+    doc_ids: list[str] = []
+    # flat span columns (one list offset array at the end → cheap Arrow build)
+    kinds: list[str] = []
+    texts: list[str] = []
+    media: list[str] = []
+    offs: list[int] = []
+    span_lengths: list[int] = []
+
+    n_docs = len(all_docs)
+    span_counts = rng.integers(spec.min_spans, spec.max_spans + 1, size=n_docs)
+    total = int(span_counts.sum())
+    kind_draw = rng.random(total)
+    sub_draw = rng.random(total)
+    cross_draw = rng.random(total)
+    dangle_draw = rng.random(total)
+    dup_draw = rng.random(total)
+    tgt_draw = rng.integers(0, 1 << 30, size=total)
+    word_draw = rng.integers(0, len(_WORDS), size=(total, 4))
+    pos = 0
+
+    for d, url in enumerate(all_docs):
+        n = int(span_counts[d])
+        doc_ids.append(url)
+        span_lengths.append(n)
+        prev_targets: list[str] = []
+        for s in range(n):
+            k = pos
+            pos += 1
+            r = kind_draw[k]
+            if r < spec.p_link:
+                # choose a link target
+                if prev_targets and dup_draw[k] < spec.p_dup_link:
+                    tgt = prev_targets[int(tgt_draw[k]) % len(prev_targets)]
+                elif dangle_draw[k] < spec.p_dangling:
+                    tgt = f"https://{host}/missing-{int(tgt_draw[k]) % 10_000:04d}"
+                elif sub_draw[k] < spec.p_subdomain:
+                    tgt = subs[int(tgt_draw[k]) % len(subs)]
+                elif cross_draw[k] < spec.p_cross_host and spec.n_hosts > 1:
+                    oh = (host_index + 1 + int(tgt_draw[k]) % (spec.n_hosts - 1)) % spec.n_hosts
+                    opages = spec.host_page_count(oh)
+                    j = int(tgt_draw[k]) % opages
+                    tgt = (
+                        f"https://{spec.host(oh)}/"
+                        if j == 0
+                        else f"https://{spec.host(oh)}/page-{j:04d}"
+                    )
+                else:
+                    j = int(tgt_draw[k]) % len(pages)
+                    tgt = pages[j]
+                prev_targets.append(tgt)
+                kinds.append("link")
+                texts.append(tgt)
+                media.append("")
+            elif r < spec.p_link + spec.p_media:
+                kinds.append("media")
+                texts.append("")
+                media.append(
+                    f"media://site-{host_index:04d}/img-{int(tgt_draw[k]) % 10_000:04d}.png"
+                )
+            else:
+                kinds.append("text")
+                texts.append(" ".join(_WORDS[w] for w in word_draw[k]))
+                media.append("")
+            offs.append(s)
+
+    # sitemap doc: links to every other content page (deterministic subset, D2/S4)
+    sitemap_targets = pages[::2]
+    doc_ids.append(f"https://{host}/sitemap.xml")
+    span_lengths.append(len(sitemap_targets))
+    for s, tgt in enumerate(sitemap_targets):
+        kinds.append("link")
+        texts.append(tgt)
+        media.append("")
+        offs.append(s)
+
+    struct = pa.StructArray.from_arrays(
+        [
+            pa.array(kinds, pa.string()),
+            pa.array(texts, pa.string()),
+            pa.array(media, pa.string()),
+            pa.array(offs, pa.int32()),
+        ],
+        fields=list(schemas.SPAN_STRUCT),
+    )
+    offsets = pa.array(np.concatenate([[0], np.cumsum(span_lengths)]).astype(np.int32))
+    spans = pa.ListArray.from_arrays(offsets, struct)
+    return pa.Table.from_arrays(
+        [pa.array(doc_ids, pa.string()), spans], schema=schemas.CORPUS
+    )
+
+
+def gen_corpus(spec: CorpusSpec) -> pa.Table:
+    """The full corpus as one Arrow table (test scale; shard by host at bench)."""
+    return pa.concat_tables([gen_host_docs(spec, i) for i in range(spec.n_hosts)])
+
+
+def gen_robots(spec: CorpusSpec) -> pa.Table:
+    """Per-host robots fixtures (FIXTURES.md §3): host 1 disallows everything,
+    host 2 disallows the /page-000* subtree, host 3 sets a large crawl delay,
+    the rest are permissive."""
+    hosts, disallow, delay = [], [], []
+    for i in range(spec.n_hosts):
+        hosts.append(spec.host(i))
+        if i == 1 and spec.n_hosts > 1:
+            disallow.append(["/"])
+            delay.append(0)
+        elif i == 2 and spec.n_hosts > 2:
+            disallow.append(["/page-000"])
+            delay.append(0)
+        elif i == 3 and spec.n_hosts > 3:
+            disallow.append([])
+            delay.append(2000)
+        else:
+            disallow.append([])
+            delay.append(0)
+    return pa.Table.from_arrays(
+        [
+            pa.array(hosts, pa.string()),
+            pa.array(disallow, pa.list_(pa.string())),
+            pa.array(delay, pa.int64()),
+        ],
+        schema=schemas.ROBOTS,
+    )
+
+
+def corpus_path(spec: CorpusSpec, root: str = "/tmp/crawler_ray_corpus") -> str:
+    """Write (once) and return the parquet path of the corpus for this spec.
+
+    Cached by spec hash so tests/bench/oracle-SQL all read identical bytes."""
+    d = os.path.join(root, spec.cache_key())
+    path = os.path.join(d, "corpus.parquet")
+    if not os.path.exists(path):
+        os.makedirs(d, exist_ok=True)
+        tmp = path + ".tmp"
+        pq.write_table(gen_corpus(spec), tmp)
+        os.replace(tmp, path)
+        pq.write_table(gen_robots(spec), os.path.join(d, "robots.parquet"))
+    return path
+
+
+def robots_path(spec: CorpusSpec, root: str = "/tmp/crawler_ray_corpus") -> str:
+    corpus_path(spec, root)
+    return os.path.join(root, spec.cache_key(), "robots.parquet")

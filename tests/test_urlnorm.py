@@ -1,0 +1,87 @@
+"""Unit tests for URL normalization + scope predicates (SURVEY.md §5.1)."""
+
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from crawler_ray import urlnorm
+
+
+def test_normalize_basic():
+    urls = pa.array(
+        [
+            "HTTPS://Site-0001.Test:443/Page-01#frag",
+            "http://example.test:80/a?q=1#x",
+            "https://site-0002.test",
+            "  https://site-0003.test/ ",
+            "relative/path",
+        ]
+    )
+    out = urlnorm.normalize(urls).to_pylist()
+    assert out[0] == "https://site-0001.test/Page-01"
+    assert out[1] == "http://example.test/a?q=1"
+    assert out[2] == "https://site-0002.test/"
+    assert out[3] == "https://site-0003.test/"
+    assert out[4] is None  # relative → null, needs resolve()
+
+
+def test_normalize_keeps_nondefault_port():
+    out = urlnorm.normalize(pa.array(["https://h.test:8443/x", "http://h.test:443/x"]))
+    assert out.to_pylist() == ["https://h.test:8443/x", "http://h.test:443/x"]
+
+
+def test_resolve_relative():
+    urls = pa.array(["page-2", "https://a.test/abs", "/root"])
+    bases = pa.array(["https://a.test/dir/page-1"] * 3)
+    out = urlnorm.resolve(urls, bases).to_pylist()
+    assert out == ["https://a.test/dir/page-2", "https://a.test/abs", "https://a.test/root"]
+
+
+def test_host_and_path():
+    urls = pa.array(["https://User@Sub.Site.Test:8443/a/b?q#f", "https://site.test"])
+    assert urlnorm.host_of(urls).to_pylist() == ["sub.site.test", "site.test"]
+    assert urlnorm.path_of(urls).to_pylist() == ["/a/b?q", "/"]
+
+
+SCOPE_TRUTH = [
+    # dst_host, subdomains, tld, expected
+    ("site-0001.test", False, False, True),
+    ("sub.site-0001.test", False, False, False),
+    ("sub.site-0001.test", True, False, True),
+    ("deep.sub.site-0001.test", True, False, True),
+    ("site-0002.test", True, False, False),
+    ("site-0001.com", False, True, True),
+    ("site-0001.org", False, True, True),
+    ("site-0002.com", False, True, False),
+    ("evil-site-0001.test", True, False, False),
+]
+
+
+@pytest.mark.parametrize("dst,subs,tld,want", SCOPE_TRUTH)
+def test_scope_truth_table(dst, subs, tld, want):
+    got = urlnorm.in_scope(
+        pa.array([dst]), "site-0001.test", subdomains=subs, tld=tld
+    ).to_pylist()
+    assert got == [want]
+
+
+def test_blacklist():
+    urls = pa.array(["https://a.test/admin/x", "https://a.test/ok"])
+    mask = urlnorm.blacklist_mask(urls, [r"/admin/"]).to_pylist()
+    assert mask == [True, False]
+    none = urlnorm.blacklist_mask(urls, []).to_pylist()
+    assert none == [False, False]
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    host=st.from_regex(r"[a-z][a-z0-9\-]{0,10}\.(test|com)", fullmatch=True),
+    path=st.from_regex(r"/[a-zA-Z0-9/_\-]{0,20}", fullmatch=True),
+)
+def test_normalize_idempotent(host, path):
+    url = f"https://{host}{path}"
+    once = urlnorm.normalize(pa.array([url]))
+    twice = urlnorm.normalize(once)
+    assert once.to_pylist() == twice.to_pylist()
+    assert once[0].as_py() is not None
