@@ -1,0 +1,46 @@
+"""Crawl job configuration — mirrors the reference's ``ScanRequest``
+field-for-field (reference: /root/reference/proto/crawler.proto:17-27, applied
+at src/rpc/server.rs:19-29 and src/scanner/scan.rs:25-38), plus the rebuild's
+scheduler/scale knobs (SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    # --- ScanRequest parity (proto/crawler.proto:17-27) ---
+    url: str = ""                      # seed URL (proto `url`)
+    crawl_id: str = "0"                # proto `id` (u32 user id, scan.rs:38)
+    respect_robots_txt: bool = True    # proto `norobots` INVERTED (server.rs:22)
+    agent: str = "crawler_ray/0.1"     # proto `agent`; UA spoof M6
+    subdomains: bool = False           # proto `subdomains` (M4)
+    tld: bool = False                  # proto `tld` (M4)
+    proxy: str = ""                    # proto `proxy` — pass-through only (M7)
+    sitemap: bool = False              # proto `sitemap` (S4/D2)
+    delay_ms: int = 0                  # proto `delay` (politeness, T3)
+
+    # --- rebuild extensions ---
+    max_depth: int = -1                # -1 = unbounded (O2)
+    max_pages: int = -1                # global page budget, -1 = unbounded (O3)
+    round_ms: int = 1000               # politeness window one round models (T3)
+    blacklist: tuple[str, ...] = ()    # regex URL blacklist (M5)
+    stop_flag_path: str = ""           # between-round shutdown check (T6)
+
+    # --- physical knobs ---
+    n_seen_shards: int = 8             # T1 shard count (O(cluster cores) at scale)
+    n_corpus_shards: int = 4           # fetch lookup service shards (T4)
+    salt_buckets: int = 8              # hot-host top-k salting fan-out (§4 skew)
+    hot_host_threshold: int = 50_000   # rows above which per-host top-k salts
+    batch_size: int = 8192             # map_batches batch size
+    small_round_threshold: int = 20_000  # frontier rows below which the round
+    # runs driver-side with the same kernels (coordinator fast path; avoids
+    # per-round distributed-execution latency). 0 forces the distributed path.
+    seen_capacity: int = 1 << 17       # cuckoo capacity per shard
+    checkpoint_dir: str = ""           # "" = no checkpointing
+    checkpoint_every: int = 1          # rounds between checkpoints
+
+    def with_(self, **kw) -> "CrawlConfig":
+        return replace(self, **kw)

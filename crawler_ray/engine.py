@@ -1,0 +1,570 @@
+"""The crawl engine: a driver-side BFS round loop over Ray Data pipelines
+(SURVEY.md §3, §7.2 step 6). Each round re-expresses one spider "wave"
+(/root/reference/src/scanner/scan.rs:71-77 → spider crawl(): fetch frontier →
+parse → extract links → dedup vs visited → next frontier) as:
+
+    frontier ─select(quota/priority)─► fetched = map_batches(fetch join)
+             └ deferred ┐                   │ write results (round-partitioned)
+                        │             extract_links ─ candidate filter ─ unique
+                        │                   │ (groupby('dst') Min — combiner first)
+                        └──────── union ── novel = map_batches(seen anti-join)
+
+State lives in long-lived actors created once per crawl (SeenShard × N,
+CorpusShard × M) — not per-round actor pools — so per-round overhead is task
+spawning only.
+
+Two physical paths, one set of kernels and one semantics:
+  * **distributed** — the Ray Data pipeline above, for rounds whose frontier
+    exceeds ``cfg.small_round_threshold`` (the 100 TB path);
+  * **coordinator fast path** — rounds small enough that distributed-execution
+    latency would dominate run driver-side using the *same* batch kernels
+    (extract_links, candidate filter, combiner, fetch/dedup routers calling
+    the same actors). Deterministically identical output; tests pin both
+    paths against the oracle.
+
+Per-round atomic checkpoints {seen, frontier, host_state, lineage,
+manifest-rename last} make a killed run resumable mid-frontier (north rule;
+write order per SURVEY §7.4.3).
+
+Modes (reference parity):
+  run(mode='crawl')  — batch mode: crawl to completion, final link list once
+                       (reference Crawl endpoint, src/rpc/server.rs:54-88,
+                       crawl.rs:40-56; `full=true` analogue).
+  run(mode='scan')   — streaming mode: per-round results written/callback as
+                       found; between-round stop flag or a False-returning
+                       callback aborts (reference Scan endpoint + "shutdown"
+                       control, src/rpc/server.rs:18-52, client.rs:88-100).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from . import schemas
+from .config import CrawlConfig
+from .functions.extract import extract_links
+from .oracle import host_of as _host_of_one  # plain-python for single seeds
+from .oracle import norm as _norm_one
+from .oracle import path_of as _path_of_one
+from .stages.candidates import (
+    combine_candidates_batch,
+    make_candidate_filter,
+    unpack_winners,
+)
+from .stages.dedup import make_dedup_fn
+from .stages.fetch import CorpusShard, make_fetch_fn
+from .stages.select import select_frontier, select_small
+from .state.robots import RobotsPolicy
+from .state.seen import SeenShard, stable_hash64
+
+
+@dataclass
+class CrawlResult:
+    crawl_id: str
+    visited: list = field(default_factory=list)   # sorted URL-seen set
+    pages_fetched: int = 0
+    rounds: int = 0
+    stopped: bool = False                         # aborted via stop flag / budget
+    lineage: pa.Table | None = None
+    out_dir: str = ""
+
+
+def _nrows(f) -> int:
+    return len(f) if isinstance(f, pa.Table) else f.count()
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        corpus_parquet: str,
+        cfg: CrawlConfig,
+        robots_table: pa.Table | None = None,
+    ):
+        import ray
+
+        self.cfg = cfg
+        self.corpus_path = corpus_parquet
+        self.policy = RobotsPolicy.from_table(robots_table)
+        RSeen = ray.remote(SeenShard)
+        self.seen = [
+            RSeen.remote(i, cfg.seen_capacity) for i in range(cfg.n_seen_shards)
+        ]
+        RCorpus = ray.remote(CorpusShard)
+        self.corpus = [
+            RCorpus.remote(corpus_parquet, i, cfg.n_corpus_shards)
+            for i in range(cfg.n_corpus_shards)
+        ]
+        self.lineage_rows: list[dict] = []
+        self.pages_fetched = 0
+        self.round = 0
+        self.seed_host = ""
+        self._resumed_frontier: pa.Table | None = None
+
+    # ------------------------------------------------------------------ #
+    def close(self):
+        import ray
+
+        for a in self.seen + self.corpus:
+            ray.kill(a)
+
+    def _lineage(self, stage: str, rows_in: int, rows_out: int, wall_ms: float, uri=""):
+        self.lineage_rows.append(
+            {
+                "crawl_id": self.cfg.crawl_id,
+                "round": self.round,
+                "stage": stage,
+                "rows_in": int(rows_in),
+                "rows_out": int(rows_out),
+                "wall_ms": int(wall_ms),
+                "checkpoint_uri": uri,
+            }
+        )
+
+    # ------------------------------------------------------------------ #
+    def _admissible_seed(self, url: str, seed_host: str) -> bool:
+        """Driver-side admissibility for seed-level URLs (same predicate the
+        in-pipeline candidate filter applies)."""
+        h = _host_of_one(url)
+        ok = h == seed_host
+        if not ok and self.cfg.subdomains:
+            ok = h.endswith("." + seed_host)
+        if not ok and self.cfg.tld:
+            def s(x):
+                parts = x.split(".")
+                return parts[-2] if len(parts) >= 2 else x
+            ok = s(h) == s(seed_host)
+        if not ok:
+            return False
+        if any(re.search(p, url) for p in self.cfg.blacklist):
+            return False
+        if self.cfg.respect_robots_txt and self.policy.rules:
+            if not self.policy.allowed([h], [_path_of_one(url)])[0]:
+                return False
+        return True
+
+    def _seed_frontier(self) -> pa.Table:
+        import ray
+
+        seed = _norm_one(self.cfg.url)
+        if seed is None:
+            return schemas.FRONTIER.empty_table()
+        seed_host = _host_of_one(seed)
+        self.seed_host = seed_host
+        urls = []
+        if self._admissible_seed(seed, seed_host):
+            urls.append(seed)
+        if self.cfg.sitemap:
+            sm = f"https://{seed_host}/sitemap.xml"
+            if sm not in urls and self._admissible_seed(sm, seed_host):
+                urls.append(sm)
+        if not urls:
+            return schemas.FRONTIER.empty_table()
+        shard = stable_hash64(urls) % self.cfg.n_seen_shards
+        keep = []
+        for s in sorted(set(shard.tolist())):
+            pos = [i for i, sh in enumerate(shard) if sh == s]
+            mask = ray.get(
+                self.seen[int(s)].check_and_add.remote([urls[i] for i in pos])
+            )
+            keep.extend(urls[i] for i, m in zip(pos, mask) if m)
+        urls = [u for u in urls if u in set(keep)]
+        n = len(urls)
+        return pa.Table.from_arrays(
+            [
+                pa.array(urls, pa.string()),
+                pa.array([_host_of_one(u) for u in urls], pa.string()),
+                pa.array([0] * n, pa.int32()),
+                pa.array([0.0] * n, pa.float64()),
+                pa.array([""] * n, pa.string()),
+                pa.array([self.cfg.crawl_id] * n, pa.string()),
+                pa.array([0] * n, pa.int32()),
+            ],
+            schema=schemas.FRONTIER,
+        )
+
+    # ------------------------------------------------------------------ #
+    def _to_table(self, frontier) -> pa.Table:
+        import ray
+
+        if isinstance(frontier, pa.Table):
+            return frontier
+        parts = [
+            pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+            for b in ray.get(frontier.to_arrow_refs())
+        ]
+        parts = [p for p in parts if p.num_rows]
+        if not parts:
+            return schemas.FRONTIER.empty_table()
+        return pa.concat_tables(parts).cast(schemas.FRONTIER).combine_chunks()
+
+    def _nblocks(self, rows: int) -> int:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        if rows <= 0:
+            return 1
+        by_batch = -(-rows // max(1, self.cfg.batch_size))
+        return max(1, min(cpus * 2, max(by_batch, min(cpus, -(-rows // 256)))))
+
+    # ------------------------------------------------------------------ #
+    # small-round coordinator path — same kernels, driver-side control
+    def _round_small(self, tab: pa.Table, out_dir: str):
+        cfg, r = self.cfg, self.round
+        t0 = time.time()
+        sel, deferred = select_small(tab, cfg, self.policy)
+        # global budget (O3)
+        if cfg.max_pages >= 0:
+            remaining = cfg.max_pages - self.pages_fetched
+            if remaining <= 0:
+                return None, tab, True
+            if sel.num_rows > remaining:
+                url = sel.column("url").to_numpy(zero_copy_only=False)
+                depth = sel.column("depth").to_numpy(zero_copy_only=False)
+                order = np.lexsort((url, depth))
+                head = sel.take(pa.array(np.sort(order[:remaining])))
+                rest = sel.take(pa.array(np.sort(order[remaining:])))
+                deferred = rest if deferred is None else pa.concat_tables([deferred, rest])
+                sel = head
+        self._lineage("select", tab.num_rows, sel.num_rows, (time.time() - t0) * 1000)
+
+        t0 = time.time()
+        fetch_fn = make_fetch_fn(self.corpus, cfg.n_corpus_shards, cfg.crawl_id, r)
+        fetched = fetch_fn(sel)
+        self.pages_fetched += fetched.num_rows
+        self._lineage("fetch", sel.num_rows, fetched.num_rows, (time.time() - t0) * 1000)
+
+        if out_dir and fetched.num_rows:
+            t0 = time.time()
+            rdir = os.path.join(out_dir, "fetched", f"round={r}")
+            os.makedirs(rdir, exist_ok=True)
+            pq.write_table(fetched, os.path.join(rdir, "part-driver.parquet"))
+            self._lineage(
+                "results", fetched.num_rows, fetched.num_rows, (time.time() - t0) * 1000, rdir
+            )
+
+        t0 = time.time()
+        links = extract_links(fetched)
+        cand = make_candidate_filter(cfg, self.seed_host, self.policy)(links)
+        packed = combine_candidates_batch(cand)  # single batch ⇒ exact global min
+        winners = unpack_winners(packed)
+        novel = make_dedup_fn(self.seen, cfg.n_seen_shards, cfg.crawl_id, r + 1)(winners)
+        self._lineage("discover", fetched.num_rows, novel.num_rows, (time.time() - t0) * 1000)
+
+        nxt = novel if deferred is None else pa.concat_tables([deferred, novel])
+        return fetched, nxt, False
+
+    # ------------------------------------------------------------------ #
+    # distributed round — the Ray Data pipeline (the at-scale path)
+    def _round_distributed(self, frontier, out_dir: str):
+        import ray.data as rd
+        from ray.data.aggregate import Min
+
+        cfg, r = self.cfg, self.round
+        n_front = frontier.count()
+        t0 = time.time()
+        selected, deferred = select_frontier(frontier, cfg, self.policy)
+        selected = selected.materialize()
+        n_sel = selected.count()
+
+        budget_stop = False
+        if cfg.max_pages >= 0:
+            remaining = cfg.max_pages - self.pages_fetched
+            if remaining <= 0:
+                return None, frontier, True
+            if n_sel > remaining:
+                ordered = selected.sort(["depth", "url"]).materialize()
+                head = ordered.limit(remaining).materialize()
+                head_urls = sorted(head.to_pandas()["url"])  # bounded by budget
+                rest = ordered.map_batches(
+                    lambda t, hu=head_urls: t.filter(
+                        pc.invert(pc.is_in(t["url"], pa.array(hu)))
+                    ),
+                    batch_format="pyarrow",
+                )
+                deferred = rest if deferred is None else deferred.union(rest)
+                deferred = deferred.materialize()
+                selected, n_sel = head, remaining
+        self._lineage("select", n_front, n_sel, (time.time() - t0) * 1000)
+
+        t0 = time.time()
+        fetched = (
+            selected.repartition(self._nblocks(n_sel))
+            .map_batches(
+                make_fetch_fn(self.corpus, cfg.n_corpus_shards, cfg.crawl_id, r),
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+                zero_copy_batch=True,
+            )
+            .materialize()
+        )
+        n_pages = fetched.count()
+        self.pages_fetched += n_pages
+        self._lineage("fetch", n_sel, n_pages, (time.time() - t0) * 1000)
+
+        if out_dir and n_pages:
+            t0 = time.time()
+            rdir = os.path.join(out_dir, "fetched", f"round={r}")
+            fetched.write_parquet(rdir)
+            self._lineage("results", n_pages, n_pages, (time.time() - t0) * 1000, rdir)
+
+        t0 = time.time()
+        links = fetched.map_batches(
+            extract_links, batch_format="pyarrow", zero_copy_batch=True
+        )
+        cand = links.map_batches(
+            make_candidate_filter(cfg, self.seed_host, self.policy),
+            batch_format="pyarrow",
+        )
+        packed = cand.map_batches(combine_candidates_batch, batch_format="pyarrow")
+        unique = packed.groupby("dst").aggregate(Min("pack", alias_name="pack"))
+        winners = unique.map_batches(unpack_winners, batch_format="pyarrow")
+        novel = winners.map_batches(
+            make_dedup_fn(self.seen, cfg.n_seen_shards, cfg.crawl_id, r + 1),
+            batch_format="pyarrow",
+        ).materialize()
+        n_novel = novel.count()
+        self._lineage("discover", n_pages, n_novel, (time.time() - t0) * 1000)
+
+        nxt = (novel if deferred is None else deferred.union(novel)).materialize()
+        return fetched, nxt, budget_stop
+
+    # ------------------------------------------------------------------ #
+    def run(
+        self,
+        mode: str = "crawl",
+        out_dir: str = "",
+        per_round_callback=None,
+        max_rounds: int = 100_000,
+    ) -> CrawlResult:
+        import ray.data as rd
+
+        cfg = self.cfg
+        if self._resumed_frontier is not None:
+            frontier = self._resumed_frontier
+            self._resumed_frontier = None
+        else:
+            frontier = self._seed_frontier()
+        stopped = False
+
+        while _nrows(frontier) > 0 and self.round < max_rounds:
+            if cfg.stop_flag_path and os.path.exists(cfg.stop_flag_path):
+                stopped = True  # T6 cooperative shutdown between rounds
+                break
+            n_front = _nrows(frontier)
+            if n_front <= cfg.small_round_threshold:
+                tab = self._to_table(frontier)
+                fetched, frontier, stopped = self._round_small(tab, out_dir)
+            else:
+                if isinstance(frontier, pa.Table):
+                    frontier = rd.from_arrow(frontier).materialize()
+                fetched, frontier, stopped = self._round_distributed(frontier, out_dir)
+            if stopped:
+                break
+            if per_round_callback is not None:
+                if per_round_callback(self.round, fetched) is False:
+                    stopped = True  # sink-driven shutdown (client.rs:88-99)
+            self.round += 1
+            if cfg.checkpoint_dir and ((self.round - 1) % max(1, cfg.checkpoint_every) == 0):
+                self._checkpoint(frontier)
+            if stopped:
+                break
+
+        if cfg.checkpoint_dir:
+            self._checkpoint(frontier)
+        return self._result(mode, out_dir, stopped)
+
+    # ------------------------------------------------------------------ #
+    def _result(self, mode: str, out_dir: str, stopped: bool) -> CrawlResult:
+        import ray
+
+        snaps = ray.get([s.snapshot.remote() for s in self.seen])
+        visited = sorted(u for sn in snaps for u in sn["urls"])
+        lineage = (
+            pa.Table.from_pylist(self.lineage_rows, schema=schemas.LINEAGE)
+            if self.lineage_rows
+            else schemas.LINEAGE.empty_table()
+        )
+        if out_dir and mode == "crawl":
+            # whole-crawl result: one final link list (S7, full=true analogue)
+            tab = pa.Table.from_arrays(
+                [
+                    pa.array([self.cfg.crawl_id] * len(visited), pa.string()),
+                    pa.array(visited, pa.string()),
+                    pa.array([True] * len(visited), pa.bool_()),
+                ],
+                schema=schemas.RESULTS,
+            )
+            os.makedirs(out_dir, exist_ok=True)
+            pq.write_table(tab, os.path.join(out_dir, "results.parquet"))
+        return CrawlResult(
+            crawl_id=self.cfg.crawl_id,
+            visited=visited,
+            pages_fetched=self.pages_fetched,
+            rounds=self.round,
+            stopped=stopped,
+            lineage=lineage,
+            out_dir=out_dir,
+        )
+
+    # ------------------------------------------------------------------ #
+    # checkpoint / resume (§4 checkpoint row; manifest-rename = commit point)
+    def _checkpoint(self, frontier):
+        import ray
+
+        cfg = self.cfg
+        root = cfg.checkpoint_dir
+        final = os.path.join(root, f"round={self.round}")
+        if os.path.exists(final):
+            return
+        tmp = os.path.join(root, f".tmp-round={self.round}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        t0 = time.time()
+        # 1. seen
+        snaps = ray.get([s.snapshot.remote() for s in self.seen])
+        rows_shard, rows_url = [], []
+        for sn in snaps:
+            rows_shard.extend([sn["shard_id"]] * len(sn["urls"]))
+            rows_url.extend(sn["urls"])
+        pq.write_table(
+            pa.Table.from_arrays(
+                [pa.array(rows_shard, pa.int32()), pa.array(rows_url, pa.string())],
+                schema=schemas.SEEN,
+            ),
+            os.path.join(tmp, "seen.parquet"),
+        )
+        # 2. frontier
+        pq.write_table(self._to_table(frontier), os.path.join(tmp, "frontier.parquet"))
+        # 3. host_state + lineage
+        hosts = sorted(self.policy.rules)
+        pq.write_table(
+            pa.Table.from_arrays(
+                [
+                    pa.array(hosts, pa.string()),
+                    pa.array(
+                        [list(self.policy.rules[h][0]) for h in hosts],
+                        pa.list_(pa.string()),
+                    ),
+                    pa.array([self.policy.rules[h][1] for h in hosts], pa.int64()),
+                    pa.array([self.round] * len(hosts), pa.int32()),
+                    pa.array([0] * len(hosts), pa.int64()),
+                ],
+                schema=schemas.HOST_STATE,
+            ),
+            os.path.join(tmp, "host_state.parquet"),
+        )
+        pq.write_table(
+            pa.Table.from_pylist(self.lineage_rows, schema=schemas.LINEAGE),
+            os.path.join(tmp, "lineage.parquet"),
+        )
+        # 4. manifest inside tmp, then atomic dir rename = commit
+        with open(os.path.join(tmp, "MANIFEST.json"), "w") as f:
+            json.dump(
+                {
+                    "round": self.round,
+                    "pages_fetched": self.pages_fetched,
+                    "crawl_id": cfg.crawl_id,
+                    "seed": cfg.url,
+                },
+                f,
+            )
+        os.replace(tmp, final)
+        self._lineage("checkpoint", 0, 0, (time.time() - t0) * 1000, final)
+
+    @classmethod
+    def resume(
+        cls,
+        corpus_parquet: str,
+        cfg: CrawlConfig,
+        robots_table: pa.Table | None = None,
+        out_dir: str = "",
+    ) -> "CrawlEngine":
+        """Rebuild an engine mid-frontier from the latest committed checkpoint.
+
+        Results from rounds at/after the checkpointed round are discarded so
+        no page is double-reported (SURVEY §7.4.3 exactly-once)."""
+        import ray
+
+        root = cfg.checkpoint_dir
+        rounds = sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(root)
+            if d.startswith("round=")
+            and os.path.exists(os.path.join(root, d, "MANIFEST.json"))
+        )
+        if not rounds:
+            raise FileNotFoundError(f"no committed checkpoint under {root}")
+        last = rounds[-1]
+        ck = os.path.join(root, f"round={last}")
+        with open(os.path.join(ck, "MANIFEST.json")) as f:
+            manifest = json.load(f)
+
+        eng = cls(corpus_parquet, cfg, robots_table)
+        eng.round = manifest["round"]
+        eng.pages_fetched = manifest["pages_fetched"]
+        eng.seed_host = _host_of_one(_norm_one(cfg.url) or "")
+        seen_tab = pq.read_table(os.path.join(ck, "seen.parquet"))
+        by_shard: dict[int, list[str]] = {}
+        for sh, u in zip(
+            seen_tab.column("shard").to_pylist(), seen_tab.column("url").to_pylist()
+        ):
+            by_shard.setdefault(sh, []).append(u)
+        ray.get(
+            [eng.seen[sh].check_and_add.remote(urls) for sh, urls in by_shard.items()]
+        )
+        eng._resumed_frontier = pq.read_table(os.path.join(ck, "frontier.parquet"))
+        eng.lineage_rows = pq.read_table(os.path.join(ck, "lineage.parquet")).to_pylist()
+        if out_dir:
+            fdir = os.path.join(out_dir, "fetched")
+            if os.path.isdir(fdir):
+                for d in os.listdir(fdir):
+                    if d.startswith("round=") and int(d.split("=")[1]) >= eng.round:
+                        shutil.rmtree(os.path.join(fdir, d), ignore_errors=True)
+        return eng
+
+
+# ---------------------------------------------------------------------- #
+# reference-parity entry points (SURVEY S1/S2)
+
+def run_crawl(
+    corpus_parquet: str,
+    cfg: CrawlConfig,
+    robots_table: pa.Table | None = None,
+    out_dir: str = "",
+) -> CrawlResult:
+    """Batch mode — reference `Crawl` endpoint (server.rs:54-88): crawl to
+    completion, deliver the full link list once."""
+    eng = CrawlEngine(corpus_parquet, cfg, robots_table)
+    try:
+        return eng.run(mode="crawl", out_dir=out_dir)
+    finally:
+        eng.close()
+
+
+def run_scan(
+    corpus_parquet: str,
+    cfg: CrawlConfig,
+    robots_table: pa.Table | None = None,
+    out_dir: str = "",
+    per_round_callback=None,
+) -> CrawlResult:
+    """Streaming mode — reference `Scan` endpoint (server.rs:18-52): per-round
+    results delivered as found; callback may return False to shut down."""
+    eng = CrawlEngine(corpus_parquet, cfg, robots_table)
+    try:
+        return eng.run(
+            mode="scan", out_dir=out_dir, per_round_callback=per_round_callback
+        )
+    finally:
+        eng.close()

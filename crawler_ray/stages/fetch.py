@@ -1,0 +1,115 @@
+"""Fetch = point-lookup join of frontier URLs against the corpus
+(SURVEY.md S3/J1/T4; reference: network GET inside ``website.crawl()``,
+/root/reference/src/scanner/scan.rs:74-76 via reqwest — Cargo.lock:1843).
+
+The corpus plays the role of "the web": fetching a URL is a key lookup of
+``doc_id``. The lookup side is a pool of ``CorpusShard`` actors, each holding
+one hash-shard of the corpus (loaded once in ``__init__`` — the T4 "corpus
+handle opened once per worker"). The frontier side is a stateless
+``map_batches`` fn that partitions each Arrow batch by shard and gathers
+``fetch.remote`` results — a hash-partitioned lookup join that ships only the
+URLs and the hit rows, never the corpus.
+
+Scale note: at 100 TB the shard actors hold a Lance/Parquet *handle* plus a
+key→(file, row-group) index instead of in-memory tables; the routing layer is
+unchanged. Misses (dangling links) return status 404 with empty spans,
+mirroring the reference's skipped fetch errors (scan.rs:45-46).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from .. import schemas
+from ..state.seen import stable_hash64
+
+_EMPTY_SPANS_ROW = pa.array([[]], schemas.SPANS)
+
+
+class CorpusShard:
+    """One hash-shard of the corpus, resident in an actor.
+
+    Loads only its own rows (hash(doc_id) % n_shards == shard_id) from the
+    corpus parquet in ``__init__`` — once per actor, never per batch."""
+
+    def __init__(self, parquet_path: str, shard_id: int, n_shards: int):
+        table = pq.read_table(parquet_path, columns=["doc_id", "spans"])
+        ids = table.column("doc_id").combine_chunks()
+        mine = stable_hash64(ids.to_numpy(zero_copy_only=False)) % n_shards == shard_id
+        self.table = table.filter(pa.array(mine)).combine_chunks()
+        keys = self.table.column("doc_id").to_pylist()
+        self.index = {k: i for i, k in enumerate(keys)}
+        self.spans = self.table.column("spans").combine_chunks()
+
+    def fetch(self, urls: list[str]) -> pa.Table:
+        """URLs → (status, spans) in input order; 404 + empty spans on miss."""
+        idx = np.fromiter(
+            (self.index.get(u, -1) for u in urls), dtype=np.int64, count=len(urls)
+        )
+        hits = idx >= 0
+        sub = self.spans.take(pa.array(idx[hits]))
+        if isinstance(sub, pa.ChunkedArray):
+            sub = sub.combine_chunks()
+        # append one empty-spans row; misses index it
+        pool = pa.concat_arrays([sub, _EMPTY_SPANS_ROW])
+        pos = np.full(len(urls), len(sub), dtype=np.int64)
+        pos[hits] = np.arange(int(hits.sum()))
+        spans = pool.take(pa.array(pos))
+        status = np.where(hits, 200, 404).astype(np.int32)
+        return pa.Table.from_arrays(
+            [pa.array(list(urls), pa.string()), pa.array(status), spans],
+            names=["url", "status", "spans"],
+        )
+
+    def num_docs(self) -> int:
+        return len(self.index)
+
+
+def make_fetch_fn(handles: list, n_shards: int, crawl_id: str, fetch_round: int):
+    """Stateless map_batches fn: frontier batch → FETCHED-schema batch.
+
+    Partitions the batch's URLs by corpus shard, fires one ``fetch.remote``
+    per shard, and reassembles rows in frontier order."""
+    import ray
+
+    def fetch_batch(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").combine_chunks()
+        n = len(urls)
+        if n == 0:
+            return schemas.FETCHED.empty_table()
+        url_np = urls.to_numpy(zero_copy_only=False)
+        shard = (stable_hash64(url_np) % n_shards).astype(np.int64)
+        refs, positions = [], []
+        for s in np.unique(shard):
+            pos = np.flatnonzero(shard == s)
+            refs.append(handles[int(s)].fetch.remote([url_np[i] for i in pos]))
+            positions.append(pos)
+        parts = ray.get(refs)
+        status = np.empty(n, dtype=np.int32)
+        span_parts, order = [], []
+        for pos, part in zip(positions, parts):
+            status[pos] = part.column("status").to_numpy()
+            span_parts.append(part.column("spans").combine_chunks())
+            order.append(pos)
+        # reassemble spans in original order
+        pool = pa.concat_arrays(span_parts)
+        back = np.empty(n, dtype=np.int64)
+        back[np.concatenate(order)] = np.arange(n)
+        spans = pool.take(pa.array(back))
+        return pa.Table.from_arrays(
+            [
+                urls,
+                batch.column("host").combine_chunks(),
+                batch.column("depth").combine_chunks().cast(pa.int32()),
+                pa.array(status),
+                spans,
+                pa.array(np.full(n, fetch_round, dtype=np.int32)),
+                pa.array([crawl_id] * n, pa.string()),
+            ],
+            schema=schemas.FETCHED,
+        )
+
+    return fetch_batch

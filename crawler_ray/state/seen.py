@@ -1,0 +1,184 @@
+"""Sharded URL-seen set — the rebuild of spider's visited `HashSet`
+(SURVEY.md T1/J2/D1; reference call-site: `website.get_links()` iteration at
+/root/reference/src/scanner/crawl.rs:42-44; hashbrown/ahash deps
+Cargo.lock:2185,2178).
+
+Design for the 10^10-URL design point:
+  * N shards, shard = stable_hash64(url) % N — each shard is an actor holding a
+    **cuckoo filter** (16-bit fingerprints, 4-way buckets ⇒ ~2.1 bytes/URL at
+    95% load). 10^10 URLs / 256 shards ≈ 82 GB total filter memory cluster-wide,
+    ~320 MB per shard — fits a worker heap. False-positive budget ≈ 2^-13 per
+    probe ⇒ ~1e-4 end-to-end with 2 buckets probed.
+  * At sandbox/test scale every shard ALSO keeps the exact URL set; tests assert
+    the filter never false-negatives and measures its FP rate. The exact set is
+    what ships in the `seen` checkpoint so resume is exact.
+  * Membership-and-insert is one message per (batch, shard): the DedupRouter
+    batch fn partitions each Arrow batch by shard and fires
+    `check_and_add.remote` per shard — a hash-partitioned anti-join (J2).
+
+Determinism contract: callers must present each URL at most once per round
+(the engine pre-uniques candidates with a groupby('url') aggregate), so the
+seen-set outcome is independent of inter-actor message ordering.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def stable_hash64(values) -> np.ndarray:
+    """Deterministic 64-bit hash of a string sequence (same across processes,
+    unlike builtin hash()). pandas' siphash — vectorized C, ~10M strings/s."""
+    arr = np.asarray(values, dtype=object)
+    return pd.util.hash_array(arr, categorize=False)
+
+
+class CuckooFilter:
+    """Partial-key cuckoo filter with numpy storage.
+
+    16-bit fingerprints, ``bucket_size``-way buckets, power-of-two bucket
+    count. Vectorized batched ``contains``; per-item insert with bounded
+    eviction (the rare path). Serializable via ``state()`` / ``from_state``.
+    """
+
+    MAX_KICKS = 500
+
+    def __init__(self, capacity: int, bucket_size: int = 4):
+        n_buckets = 1
+        while n_buckets * bucket_size < capacity:
+            n_buckets *= 2
+        self.n_buckets = n_buckets
+        self.bucket_size = bucket_size
+        self.mask = np.uint64(n_buckets - 1)
+        self.table = np.zeros((n_buckets, bucket_size), dtype=np.uint16)
+        self.count = 0
+        self._rng = np.random.default_rng(0xC0FFEE)
+
+    # -- hashing ----------------------------------------------------------
+    def _fp_and_indices(self, h: np.ndarray):
+        fp = ((h >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
+        fp = np.where(fp == 0, np.uint16(1), fp)  # 0 marks an empty slot
+        i1 = (h & self.mask).astype(np.int64)
+        i2 = self._alt_index(i1, fp)
+        return fp, i1, i2
+
+    def _alt_index(self, i, fp):
+        # standard partial-key alternate: i xor hash(fp)
+        fph = (fp.astype(np.uint64) * np.uint64(0x5BD1E995)) & self.mask
+        return (i.astype(np.uint64) ^ fph).astype(np.int64)
+
+    # -- batched ops ------------------------------------------------------
+    def contains_hashes(self, h: np.ndarray) -> np.ndarray:
+        fp, i1, i2 = self._fp_and_indices(h)
+        t = self.table
+        hit1 = (t[i1] == fp[:, None]).any(axis=1)
+        hit2 = (t[i2] == fp[:, None]).any(axis=1)
+        return hit1 | hit2
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        fp, i1, i2 = self._fp_and_indices(h)
+        for k in range(len(h)):
+            self._insert_one(int(fp[k]), int(i1[k]), int(i2[k]))
+
+    def _insert_one(self, fp: int, i1: int, i2: int) -> None:
+        for i in (i1, i2):
+            row = self.table[i]
+            empties = np.flatnonzero(row == 0)
+            if len(empties):
+                row[empties[0]] = fp
+                self.count += 1
+                return
+        # evict
+        i = i1
+        for _ in range(self.MAX_KICKS):
+            slot = int(self._rng.integers(0, self.bucket_size))
+            fp, self.table[i, slot] = int(self.table[i, slot]), fp
+            i = int(self._alt_index(np.array([i]), np.array([fp], np.uint16))[0])
+            row = self.table[i]
+            empties = np.flatnonzero(row == 0)
+            if len(empties):
+                row[empties[0]] = fp
+                self.count += 1
+                return
+        raise RuntimeError("cuckoo filter over capacity — grow shards")
+
+    # -- serialization ----------------------------------------------------
+    def state(self) -> dict:
+        return {
+            "table": self.table.copy(),
+            "count": self.count,
+            "bucket_size": self.bucket_size,
+        }
+
+    @classmethod
+    def from_state(cls, st: dict) -> "CuckooFilter":
+        f = cls.__new__(cls)
+        f.table = st["table"].copy()
+        f.count = st["count"]
+        f.bucket_size = st["bucket_size"]
+        f.n_buckets = f.table.shape[0]
+        f.mask = np.uint64(f.n_buckets - 1)
+        f._rng = np.random.default_rng(0xC0FFEE)
+        return f
+
+
+class SeenShard:
+    """One shard of the URL-seen set. Wrapped with ``ray.remote`` by the
+    engine; also usable in-process (the oracle and unit tests do).
+
+    ``exact`` mode keeps the authoritative Python set next to the filter
+    (checkpointable, zero false positives). At the 10^10 design point exact
+    would be dropped and the filter alone decides (documented FP budget)."""
+
+    def __init__(self, shard_id: int, capacity: int = 1 << 16, exact: bool = True):
+        self.shard_id = shard_id
+        self.filter = CuckooFilter(capacity)
+        self.exact = set() if exact else None
+
+    def check_and_add(self, urls: list[str]) -> np.ndarray:
+        """Returns bool mask: True where the URL was NOT seen before (and is
+        now marked seen). URLs must be unique within the call."""
+        if not urls:
+            return np.zeros(0, dtype=bool)
+        h = stable_hash64(urls)
+        maybe_seen = self.filter.contains_hashes(h)
+        if self.exact is not None:
+            novel = np.fromiter(
+                (u not in self.exact for u in urls), dtype=bool, count=len(urls)
+            )
+            # cuckoo must never false-negative: anything exact-seen must probe seen
+            fn = (~maybe_seen) & (~novel)
+            if fn.any():
+                raise AssertionError("cuckoo filter false negative")
+            self.exact.update(u for u, n in zip(urls, novel) if n)
+        else:
+            novel = ~maybe_seen
+        self.filter.add_hashes(h[novel])
+        return novel
+
+    def contains(self, urls: list[str]) -> np.ndarray:
+        if not urls:
+            return np.zeros(0, dtype=bool)
+        if self.exact is not None:
+            return np.fromiter(
+                (u in self.exact for u in urls), dtype=bool, count=len(urls)
+            )
+        return self.filter.contains_hashes(stable_hash64(urls))
+
+    def size(self) -> int:
+        return len(self.exact) if self.exact is not None else self.filter.count
+
+    # -- checkpoint -------------------------------------------------------
+    def snapshot(self) -> dict:
+        return {
+            "shard_id": self.shard_id,
+            "urls": sorted(self.exact) if self.exact is not None else [],
+            "filter": self.filter.state(),
+        }
+
+    def restore(self, snap: dict) -> None:
+        self.shard_id = snap["shard_id"]
+        self.filter = CuckooFilter.from_state(snap["filter"])
+        if self.exact is not None:
+            self.exact = set(snap["urls"])

@@ -1,0 +1,113 @@
+"""Engine ↔ oracle equality (SURVEY.md §5.2): visited-set equality, BFS wave
+(depth) equality, fetch-round equality under politeness quotas, and per-row
+span-sequence equality on (kind, text, media_ref, order)."""
+
+import glob
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from crawler_ray.config import CrawlConfig
+from crawler_ray.oracle import corpus_as_dict, crawl as oracle_crawl, robots_as_dict
+from crawler_ray.synth import corpus_path, gen_robots, robots_path
+
+
+@pytest.fixture(scope="module")
+def fixtures(small_spec, small_corpus):
+    return {
+        "cp": corpus_path(small_spec),
+        "robots": pq.read_table(robots_path(small_spec)),
+        "cd": corpus_as_dict(small_corpus),
+        "rd": robots_as_dict(gen_robots(small_spec)),
+    }
+
+
+CONFIGS = [
+    dict(url="https://site-0000.test/"),
+    dict(url="https://site-0000.test/", sitemap=True),
+    dict(url="https://site-0001.test/"),  # robots disallow-all → empty crawl
+    dict(url="https://site-0002.test/"),  # robots subtree disallow
+    dict(url="https://site-0000.test/", subdomains=True),
+    dict(url="https://site-0000.test/", tld=True),
+    dict(url="https://site-0000.test/", max_depth=2),
+    dict(url="https://site-0000.test/", max_pages=20),
+    dict(url="https://site-0000.test/", delay_ms=300, round_ms=1000),  # quotas
+    dict(url="https://site-0003.test/", delay_ms=500, round_ms=5000),  # robots delay
+    dict(url="https://site-0000.test/", blacklist=("/page-001",)),
+    dict(url="https://site-0000.test/", respect_robots_txt=False, sitemap=True),
+]
+
+
+def _run_and_compare(kw, fixtures, tmp_path, **extra):
+    from crawler_ray.engine import run_crawl
+
+    cfg = CrawlConfig(**kw, **extra)
+    out = str(tmp_path / "out")
+    shutil.rmtree(out, ignore_errors=True)
+    res = run_crawl(fixtures["cp"], cfg, fixtures["robots"], out_dir=out)
+    o = oracle_crawl(fixtures["cd"], cfg, fixtures["rd"])
+
+    # 1. visited-set equality
+    assert set(res.visited) == o.visited
+    assert res.pages_fetched == len(o.fetched)
+
+    # 2-4. per-fetched-row: depth (BFS wave), round (politeness schedule),
+    #      status, span sequence
+    eng = {}
+    for f in glob.glob(out + "/fetched/**/*.parquet", recursive=True):
+        rnd = int(f.split("round=")[1].split("/")[0])
+        for row in pq.read_table(f).to_pylist():
+            eng[row["url"]] = (row["depth"], rnd, row["status"], row["spans"])
+    ow = {u: (d, r, s, sp) for (u, d, r, s, sp) in o.fetched}
+    assert set(eng) == set(ow)
+    for u in ow:
+        ed, er, es, esp = eng[u]
+        od, orr, os_, osp = ow[u]
+        assert (ed, er, es) == (od, orr, os_), u
+        assert [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in esp
+        ] == [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in osp], u
+    return res
+
+
+@pytest.mark.parametrize("kw", CONFIGS, ids=lambda kw: "-".join(
+    f"{k}={v}" for k, v in kw.items() if k != "url") or "plain")
+def test_small_path_matches_oracle(kw, fixtures, ray_session, tmp_path):
+    _run_and_compare(kw, fixtures, tmp_path)
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(url="https://site-0000.test/"),
+        dict(url="https://site-0000.test/", max_depth=3, sitemap=True),
+    ],
+    ids=["plain", "depth-sitemap"],
+)
+def test_distributed_path_matches_oracle(kw, fixtures, ray_session, tmp_path):
+    """Force every round through the distributed Ray Data pipeline."""
+    _run_and_compare(kw, fixtures, tmp_path, small_round_threshold=0)
+
+
+def test_scan_mode_stop_callback(fixtures, ray_session, tmp_path):
+    """Reference 'shutdown' control semantics (client.rs:88-100): a False
+    callback return aborts the crawl between rounds."""
+    from crawler_ray.engine import run_scan
+
+    seen_rounds = []
+
+    def cb(rnd, fetched):
+        seen_rounds.append(rnd)
+        return rnd < 1  # stop after round 1
+
+    cfg = CrawlConfig(url="https://site-0000.test/")
+    res = run_scan(
+        fixtures["cp"], cfg, fixtures["robots"], out_dir=str(tmp_path / "scan"), per_round_callback=cb
+    )
+    assert res.stopped
+    assert seen_rounds == [0, 1]
+    o = oracle_crawl(fixtures["cd"], cfg, fixtures["rd"])
+    # partial crawl: engine visited ⊆ oracle visited, fetched < full
+    assert set(res.visited) <= o.visited
+    assert res.pages_fetched < len(o.fetched)
