@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship crawl pipeline on the sf0.001-tier synthetic corpus.
+``queries()`` — one entry per implemented operator/pipeline (SURVEY.md §2 +
+the training-data operator families). ``oracle_sql()`` — DuckDB equivalents
+for every SQL-expressible query; iterative / sketch-based / heuristic ops are
+rows-only by design (the driver records the weaker check for those).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -18,27 +15,99 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+_SF_ORACLE = "/root/testdata/sf0.01"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: BFS crawl of the sf0.001-tier interleaved corpus (engine
+    end-to-end: seed → politeness select → fetch join → extract → dedup) —
+    returns the visited set with BFS depths."""
+    from crawler_ray.pipelines.crawlq import crawl_bfs
+
+    return crawl_bfs("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from crawler_ray.pipelines import crawlq as C
+    from crawler_ray.pipelines import dedup as D
+    from crawler_ray.pipelines import multimodal as M
+    from crawler_ray.pipelines import relational as R
+    from crawler_ray.pipelines import similarity as S
+    from crawler_ray.pipelines import text as T
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # make sure the shared synthetic-corpus parquet exists for whichever of
+    # queries()/oracle_sql() the driver touches first
+    C.corpus_for_sf(_SF_ORACLE)
+
+    return {
+        # relational operators (SURVEY §2.2/2.4/2.5/2.6/2.7)
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "filter_project": R.filter_project,
+        "segment_revenue": R.segment_revenue,
+        "nation_revenue": R.nation_revenue,
+        "top_orders": R.top_orders,
+        "distinct_nation_keys": R.distinct_nation_keys,
+        "events_hourly": R.events_hourly,
+        # crawl-engine operators over the interleaved corpus
+        "corpus_links": C.corpus_links,
+        "span_profile": C.span_profile,
+        "crawl_bfs": C.crawl_bfs,
+        # text analysis
+        "token_stats": T.token_stats,
+        "fingerprints": T.fingerprints,
+        "lang_id": T.lang_id,
+        "quality": T.quality,
+        # deduplication family
+        "exact_dedup": D.exact_dedup,
+        "minhash_pairs": D.minhash_pairs,
+        "simhash_pairs": D.simhash_pairs,
+        "embedding_dup_pairs": D.embedding_dup_pairs,
+        "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
+        # similarity search
+        "ann_bruteforce": S.ann_bruteforce,
+        "ann_lsh": S.ann_lsh,
+        # multimodal plumbing
+        "media_manifest": M.media_manifest,
+        "media_features": M.media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    from crawler_ray.pipelines import crawlq as C
+    from crawler_ray.pipelines import dedup as D
+    from crawler_ray.pipelines import relational as R
+    from crawler_ray.pipelines import similarity as S
+    from crawler_ray.pipelines import text as T
+
+    C.corpus_for_sf(_SF_ORACLE)  # corpus parquet must exist for the UNNEST oracles
+
+    return {
+        "q1_pricing_summary": R.q1_sql(),
+        "filter_project": R.filter_project_sql(),
+        "segment_revenue": R.segment_revenue_sql(),
+        "nation_revenue": R.nation_revenue_sql(),
+        "top_orders": R.top_orders_sql(),
+        "distinct_nation_keys": R.distinct_nation_keys_sql(),
+        "events_hourly": R.events_hourly_sql(),
+        "corpus_links": C.corpus_links_sql(_SF_ORACLE),
+        "span_profile": C.span_profile_sql(_SF_ORACLE),
+        "token_stats": T.token_stats_sql(),
+        "fingerprints": T.fingerprints_sql(),
+        "exact_dedup": D.exact_dedup_sql(),
+        "ann_bruteforce": S.ann_bruteforce_sql(),
+        # media_manifest is SQL-expressible over the same corpus parquet
+        "media_manifest": _media_manifest_sql(),
+        # crawl_bfs, lang_id, quality, minhash/simhash/embedding/ngram pairs,
+        # ann_lsh, media_features: iterative or heuristic — rows-only checks.
+    }
+
+
+def _media_manifest_sql() -> str:
+    from crawler_ray.pipelines.crawlq import corpus_for_sf
+
+    path = corpus_for_sf(_SF_ORACLE)
+    return f"""
+    SELECT t.doc_id, u.s['media_ref'] AS media_ref, u.s['offset'] AS "offset"
+    FROM read_parquet('{path}') t, UNNEST(t.spans) AS u(s)
+    WHERE u.s['kind'] = 'media'
     """
-    return {}

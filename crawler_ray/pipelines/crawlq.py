@@ -1,0 +1,129 @@
+"""Crawl-engine query wrappers for ``__ray_entry__.queries()``: each derives a
+deterministic synthetic corpus sized to the sf of the given directory (the
+driver tables have no spans column — FIXTURES.md §5), runs the Ray pipeline,
+and (where SQL-expressible) exposes a DuckDB oracle over the SAME cached
+corpus parquet under /tmp.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import CrawlConfig
+from ..functions.extract import extract_links, span_kind_counts
+from ..synth import CorpusSpec, corpus_path, robots_path
+
+# corpus spec per sf tier — deterministic, cached by spec hash
+_SPECS = {
+    "sf0.001": CorpusSpec(n_hosts=4, pages_per_host=20),
+    "sf0.01": CorpusSpec(n_hosts=8, pages_per_host=50),
+    "sf0.1": CorpusSpec(n_hosts=16, pages_per_host=150, hot_host_factor=5),
+}
+
+
+def spec_for_sf(sf_dir: str) -> CorpusSpec:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    m = re.search(r"sf[\d.]+", name)
+    return _SPECS.get(m.group(0) if m else "sf0.01", _SPECS["sf0.01"])
+
+
+def corpus_for_sf(sf_dir: str) -> str:
+    """Parquet path of the (cached) corpus for this sf tier."""
+    return corpus_path(spec_for_sf(sf_dir))
+
+
+def corpus_links(sf_dir: str):
+    """Link extraction over the interleaved corpus (M2) — the §7.1 minimum
+    slice, SQL-checkable via UNNEST."""
+    import ray.data as rd
+
+    path = corpus_for_sf(sf_dir)
+    corpus = rd.read_parquet(path)
+
+    def as_fetched(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.Table.from_arrays(
+            [
+                t["doc_id"].combine_chunks(),
+                pa.array([0] * n, pa.int32()),
+                pa.array(["q"] * n, pa.string()),
+                t["spans"].combine_chunks(),
+            ],
+            names=["url", "depth", "crawl_id", "spans"],
+        )
+
+    links = corpus.map_batches(as_fetched, batch_format="pyarrow").map_batches(
+        extract_links, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return links.select_columns(["src", "dst", "dst_host"])
+
+
+def corpus_links_sql(sf_dir: str) -> str:
+    path = corpus_for_sf(sf_dir)
+    return f"""
+    SELECT t.doc_id AS src,
+           u.s['text'] AS dst,
+           REGEXP_EXTRACT(u.s['text'], '^[a-z]+://([^/]+)', 1) AS dst_host
+    FROM read_parquet('{path}') t, UNNEST(t.spans) AS u(s)
+    WHERE u.s['kind'] = 'link'
+    """
+
+
+def span_profile(sf_dir: str):
+    """Per-document span-kind counts (vectorized explode + bincount)."""
+    import ray.data as rd
+
+    return rd.read_parquet(corpus_for_sf(sf_dir)).map_batches(
+        span_kind_counts, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def span_profile_sql(sf_dir: str) -> str:
+    path = corpus_for_sf(sf_dir)
+    return f"""
+    SELECT t.doc_id,
+           COUNT(*) FILTER (WHERE u.s['kind'] = 'text')  AS n_text,
+           COUNT(*) FILTER (WHERE u.s['kind'] = 'link')  AS n_link,
+           COUNT(*) FILTER (WHERE u.s['kind'] = 'media') AS n_media
+    FROM read_parquet('{path}') t, UNNEST(t.spans) AS u(s)
+    GROUP BY t.doc_id
+    """
+
+
+def crawl_bfs(sf_dir: str):
+    """Full crawl of host 0 on the sf-tier corpus: returns the visited set
+    with BFS depth per URL (waves). Iterative — no SQL oracle (the driver
+    records a rows-only check); pytest pins it to the plain-Python oracle."""
+    import pyarrow.parquet as pq
+
+    from ..engine import CrawlEngine
+
+    spec = spec_for_sf(sf_dir)
+    cfg = CrawlConfig(url=f"https://{spec.host(0)}/", sitemap=True)
+    eng = CrawlEngine(corpus_path(spec), cfg, pq.read_table(robots_path(spec)))
+    try:
+        out = "/tmp/crawler_ray_q/bfs_" + os.path.basename(os.path.normpath(sf_dir))
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        eng.run(mode="crawl", out_dir=out)
+        import glob
+
+        rows = {"url": [], "depth": []}
+        for f in glob.glob(out + "/fetched/**/*.parquet", recursive=True):
+            t = pq.read_table(f, columns=["url", "depth"])
+            rows["url"].extend(t["url"].to_pylist())
+            rows["depth"].extend(t["depth"].to_pylist())
+        order = sorted(range(len(rows["url"])), key=lambda i: rows["url"][i])
+        return pa.table(
+            {
+                "url": pa.array([rows["url"][i] for i in order], pa.string()),
+                "depth": pa.array([rows["depth"][i] for i in order], pa.int32()),
+            }
+        )
+    finally:
+        eng.close()

@@ -1,0 +1,340 @@
+"""Generic relational operators expressed Ray-Data-first over the driver's
+TPC-H-ish parquet tables. Conventions for oracle parity (the driver compares
+against DuckDB by row-count + schema + order-insensitive value hash):
+
+  * every computed column carries the SAME name as in the oracle SQL;
+  * every float aggregate is rounded identically on both sides (partial-sum
+    ordering differs between engines, so raw doubles would hash-mismatch);
+  * reads prune columns at the source (`columns=[...]`).
+
+Scale notes are inline per pipeline: partial per-batch aggregation before each
+groupby (combiner pattern), broadcast of small dimension tables instead of a
+shuffle join, hash-partitioned `Dataset.join` only where both sides are large.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .rounding import round_np, round_pa
+
+
+def _read(sf_dir: str, name: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+# --------------------------------------------------------------------------- #
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-style grouped aggregate with a per-batch combiner.
+
+    Scale: the map_batches stage collapses each ~64k-row batch to ≤8 partial
+    rows (one per group), so the global groupby shuffles a few rows per block
+    instead of the whole table."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    cutoff = pa.scalar(pd.Timestamp("1998-09-02"), pa.timestamp("us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        disc_price = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        t = t.append_column("disc_price", disc_price)
+        df = t.select(
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "disc_price"]
+        ).to_pandas()
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(
+                sum_qty=("l_quantity", "sum"),
+                sum_base_price=("l_extendedprice", "sum"),
+                sum_disc_price=("disc_price", "sum"),
+                count_order=("l_quantity", "size"),
+            )
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price", alias_name="sum_base_price"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("count_order", alias_name="count_order"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["avg_qty"] = round_np(df["sum_qty"] / df["count_order"], 6)
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+            df[c] = round_np(df[c], 2)
+        return pa.Table.from_pandas(
+            df[
+                [
+                    "l_returnflag",
+                    "l_linestatus",
+                    "sum_qty",
+                    "sum_base_price",
+                    "sum_disc_price",
+                    "avg_qty",
+                    "count_order",
+                ]
+            ],
+            preserve_index=False,
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def q1_sql() -> str:
+    return """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                        AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                   AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_quantity) / COUNT(*), 6)             AS avg_qty,
+           COUNT(*)                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """
+
+
+# --------------------------------------------------------------------------- #
+def filter_project(sf_dir: str):
+    """Vectorized filter + computed projection (zero-copy Arrow kernels)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater(t["l_quantity"], 30.0),
+            pc.less(t["l_discount"], 0.05),
+        )
+        t = t.filter(keep)
+        revenue = round_pa(
+            pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            2,
+        )
+        return pa.Table.from_arrays(
+            [
+                t["l_orderkey"].combine_chunks(),
+                t["l_linenumber"].combine_chunks(),
+                t["l_quantity"].combine_chunks(),
+                revenue,
+            ],
+            names=["l_orderkey", "l_linenumber", "l_quantity", "revenue"],
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def filter_project_sql() -> str:
+    return """
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           ROUND(l_extendedprice * (1 - l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_quantity > 30 AND l_discount < 0.05
+    """
+
+
+# --------------------------------------------------------------------------- #
+def segment_revenue(sf_dir: str):
+    """Broadcast join: orders × customer (small side shipped once via
+    ``ray.put``, looked up per batch — SURVEY J3 pattern; no shuffle)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .to_pandas()
+        .set_index("c_custkey")["c_mktsegment"]
+    )
+    ref = ray.put(cust)
+
+    def attach(t: pa.Table) -> pa.Table:
+        seg_map = ray.get(ref)
+        df = t.to_pandas()
+        df["c_mktsegment"] = df["o_custkey"].map(seg_map)
+        g = (
+            df.groupby("c_mktsegment", sort=False)
+            .agg(revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    partials = ds.map_batches(attach, batch_format="pyarrow", batch_size=65536)
+    out = partials.groupby("c_mktsegment").aggregate(
+        Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders")
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("revenue"),
+            "revenue",
+            round_pa(t["revenue"], 2),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def segment_revenue_sql() -> str:
+    return """
+    SELECT c_mktsegment,
+           ROUND(SUM(o_totalprice), 2) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """
+
+
+# --------------------------------------------------------------------------- #
+def nation_revenue(sf_dir: str):
+    """Large×large hash-partitioned join (lineitem ⋈ orders via Dataset.join)
+    followed by two broadcast lookups (customer→nation small side).
+
+    Scale: `num_partitions` sizes the hash exchange; the nation/customer
+    lookups stay broadcast because they are O(customers) ≪ O(lineitem)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"].combine_chunks(), "rev": r})
+
+    li = li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = li.join(
+        orders, join_type="inner", num_partitions=16, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    c2n = cust.set_index("c_custkey")["c_nationkey"]
+    n2name = nation.set_index("n_nationkey")["n_name"]
+    ref = ray.put((c2n, n2name))
+
+    def attach(t: pa.Table) -> pa.Table:
+        c2n_, n2name_ = ray.get(ref)
+        df = t.to_pandas()
+        df["n_name"] = df["o_custkey"].map(c2n_).map(n2name_)
+        g = df.groupby("n_name", sort=False).agg(revenue=("rev", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = joined.map_batches(attach, batch_format="pyarrow", batch_size=65536)
+    out = partials.groupby("n_name").aggregate(Sum("revenue", alias_name="revenue"))
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("revenue"),
+            "revenue",
+            round_pa(t["revenue"], 2),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def nation_revenue_sql() -> str:
+    return """
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """
+
+
+# --------------------------------------------------------------------------- #
+def top_orders(sf_dir: str):
+    """Distributed sort + limit (top-k) with a deterministic tie-break."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def top_orders_sql() -> str:
+    return """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """
+
+
+# --------------------------------------------------------------------------- #
+def distinct_nation_keys(sf_dir: str):
+    """Distinct = groupby-first (shuffle on the key; SURVEY A3)."""
+    ds = _read(sf_dir, "customer", ["c_nationkey"])
+    out = ds.groupby("c_nationkey").count()
+    return out.select_columns(["c_nationkey"])
+
+
+def distinct_nation_keys_sql() -> str:
+    return "SELECT DISTINCT c_nationkey FROM customer"
+
+
+# --------------------------------------------------------------------------- #
+def events_hourly(sf_dir: str):
+    """Tumbling 1-hour window aggregate over the event stream (SURVEY §2.9
+    rebuild of stream-shaped workloads: event-time bucketing + grouped agg,
+    pre-aggregated per batch)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        win = (df["ts"].astype("int64") // 10**6 // 3600) * 3600
+        df = df.assign(window_start=win)
+        g = (
+            df.groupby(["event_type", "window_start"], sort=False)
+            .agg(sum_value=("value", "sum"), n_events=("value", "size"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    out = partials.groupby(["event_type", "window_start"]).aggregate(
+        Sum("sum_value", alias_name="sum_value"),
+        Sum("n_events", alias_name="n_events"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["avg_value"] = round_np(df["sum_value"] / df["n_events"], 6)
+        df["sum_value"] = round_np(df["sum_value"], 4)
+        return pa.Table.from_pandas(
+            df[["event_type", "window_start", "sum_value", "n_events", "avg_value"]],
+            preserve_index=False,
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def events_hourly_sql() -> str:
+    return """
+    SELECT event_type,
+           CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+           ROUND(SUM(value), 4)            AS sum_value,
+           COUNT(*)                        AS n_events,
+           ROUND(SUM(value) / COUNT(*), 6) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """

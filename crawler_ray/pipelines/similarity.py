@@ -1,0 +1,159 @@
+"""Similarity search over the embedding column (SURVEY 'beyond the
+reference'): brute-force cosine top-k as the exact baseline — numpy matmul per
+batch against a broadcast query matrix — and a hyperplane-LSH bucketed variant
+as the scale path (probes only matching buckets; recall measured in tests).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .rounding import round_np
+
+
+def _read_emb(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+
+
+def _as_matrix(t: pa.Table) -> np.ndarray:
+    m = np.asarray(t["embedding"].combine_chunks().values, dtype=np.float64)
+    return m.reshape(len(t), -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
+
+
+def _query_matrix(sf_dir: str, n_queries: int):
+    """Deterministic query set: the n lowest vec_ids."""
+    import duckdb
+
+    q = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{os.path.join(sf_dir, 'embeddings.parquet')}') "
+        f"ORDER BY vec_id LIMIT {n_queries}"
+    ).arrow()
+    qids = q["vec_id"].to_numpy()
+    qm = _normalize(np.asarray(q["embedding"].combine_chunks().values, dtype=np.float64).reshape(len(qids), -1))
+    return qids, qm
+
+
+def ann_bruteforce(sf_dir: str, n_queries: int = 5, k: int = 10):
+    """Exact cosine top-k: per-batch matmul + per-batch partial top-k
+    (emitting k candidates per query per batch), then a final per-query
+    selection — the classic distributed top-k combiner."""
+    import ray
+
+    qids, qm = _query_matrix(sf_dir, n_queries)
+    ref = ray.put((qids, qm))
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        qids_, qm_ = ray.get(ref)
+        x = _normalize(_as_matrix(t))
+        ids = t["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        scores = qm_ @ x.T  # (nq, batch)
+        nq, nb = scores.shape
+        kk = min(k, nb)
+        top = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+        rows = {
+            "qid": np.repeat(qids_, kk),
+            "vec_id": ids[top.reshape(-1)],
+            "score": round_np(np.take_along_axis(scores, top, axis=1).reshape(-1), 6),
+        }
+        return pa.table(rows)
+
+    cands = _read_emb(sf_dir).map_batches(score_batch, batch_format="pyarrow", batch_size=8192)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[["qid", "vec_id", "rank", "score"]]
+
+    return cands.groupby("qid").map_groups(final_topk, batch_format="pandas")
+
+
+def ann_bruteforce_sql(n_queries: int = 5, k: int = 10) -> str:
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe
+        FROM embeddings ORDER BY vec_id LIMIT {n_queries}
+    ),
+    scored AS (
+        SELECT q.qid, e.vec_id,
+               ROUND(LIST_COSINE_SIMILARITY(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS score
+        FROM q CROSS JOIN embeddings e
+    )
+    SELECT qid, vec_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rank,
+           score
+    FROM scored
+    QUALIFY rank <= {k}
+    """
+
+
+def ann_lsh(sf_dir: str, n_queries: int = 5, k: int = 10, n_planes: int = 8):
+    """Approximate top-k: hyperplane-LSH buckets; each batch scores only rows
+    whose bucket matches a query bucket (multi-probe: hamming ≤ 1). Trades
+    recall for a ~2^planes candidate reduction — the 10^10-row path where a
+    full matmul per query is impossible."""
+    import ray
+
+    qids, qm = _query_matrix(sf_dir, n_queries)
+    planes = np.random.default_rng(1234).standard_normal((qm.shape[1], n_planes))
+
+    def bucket_of(m: np.ndarray) -> np.ndarray:
+        bits = (m @ planes) > 0
+        out = np.zeros(m.shape[0], dtype=np.int64)
+        for i in range(n_planes):
+            out |= bits[:, i].astype(np.int64) << i
+        return out
+
+    qb = bucket_of(qm)
+    # multi-probe: query bucket ± one flipped bit
+    probe_sets = []
+    for b in qb:
+        s = {int(b)}
+        for i in range(n_planes):
+            s.add(int(b) ^ (1 << i))
+        probe_sets.append(s)
+    ref = ray.put((qids, qm, probe_sets))
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        qids_, qm_, probes = ray.get(ref)
+        x = _normalize(_as_matrix(t))
+        ids = t["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        xb = bucket_of(x)
+        rows = {"qid": [], "vec_id": [], "score": []}
+        for qi in range(len(qids_)):
+            mask = np.isin(xb, list(probes[qi]))
+            if not mask.any():
+                continue
+            sc = qm_[qi] @ x[mask].T
+            kk = min(k, sc.shape[0])
+            top = np.argpartition(-sc, kk - 1)[:kk]
+            rows["qid"].extend([qids_[qi]] * kk)
+            rows["vec_id"].extend(ids[mask][top])
+            rows["score"].extend(round_np(sc[top], 6))
+        return pa.table(
+            {
+                "qid": pa.array(rows["qid"], pa.int64()),
+                "vec_id": pa.array(rows["vec_id"], pa.int64()),
+                "score": pa.array(rows["score"], pa.float64()),
+            }
+        )
+
+    cands = _read_emb(sf_dir).map_batches(score_batch, batch_format="pyarrow", batch_size=8192)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[["qid", "vec_id", "rank", "score"]]
+
+    return cands.groupby("qid").map_groups(final_topk, batch_format="pandas")

@@ -1,0 +1,173 @@
+"""Pipeline correctness: every SQL-expressible query vs its DuckDB oracle at
+sf0.001 (fast tier), plus behavioral tests for the rows-only operators
+(near-dup detection on planted duplicates, ANN-LSH recall, decode stub)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entrymod
+from util_compare import assert_equivalent, to_df
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sql_for(name: str) -> str:
+    return entrymod.oracle_sql()[name]
+
+
+SQL_CHECKED = [
+    "q1_pricing_summary",
+    "filter_project",
+    "segment_revenue",
+    "nation_revenue",
+    "top_orders",
+    "distinct_nation_keys",
+    "events_hourly",
+    "token_stats",
+    "fingerprints",
+    "exact_dedup",
+    "ann_bruteforce",
+]
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_query_matches_duckdb(name, ray_session):
+    q = entrymod.queries()[name]
+    assert_equivalent(q(SF), _sql_for(name), SF)
+
+
+@pytest.mark.parametrize("name", ["corpus_links", "span_profile", "media_manifest"])
+def test_corpus_query_matches_duckdb(name, ray_session):
+    """Corpus-backed queries: oracle SQL embeds the sf0.01 corpus path, so
+    compare at sf0.01 (generation is cached)."""
+    sf = "/root/testdata/sf0.01"
+    q = entrymod.queries()[name]
+    assert_equivalent(q(sf), _sql_for(name), sf)
+
+
+def test_entry_smoke(ray_session):
+    out = to_df(entrymod.entry())
+    assert len(out) > 0
+    assert list(out.columns) == ["url", "depth"]
+
+
+def test_crawl_bfs_matches_oracle(ray_session):
+    from crawler_ray.config import CrawlConfig
+    from crawler_ray.oracle import corpus_as_dict, crawl, robots_as_dict
+    from crawler_ray.pipelines.crawlq import spec_for_sf
+    from crawler_ray.synth import gen_corpus, gen_robots
+
+    spec = spec_for_sf(SF)
+    got = to_df(entrymod.queries()["crawl_bfs"](SF))
+    cfg = CrawlConfig(url=f"https://{spec.host(0)}/", sitemap=True)
+    o = crawl(corpus_as_dict(gen_corpus(spec)), cfg, robots_as_dict(gen_robots(spec)))
+    assert dict(zip(got["url"], got["depth"])) == o.waves
+
+
+# ------------------------- near-dup behavioral tests ----------------------- #
+
+def _planted_docs(tmp_path):
+    """A corpus with two exact-near-duplicate clusters + unrelated docs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain in spain "
+        "falls mainly on the plain and every good boy deserves fudge today"
+    )
+    rows = {
+        "doc_id": list(range(8)),
+        "text": [
+            base,
+            base + " extra",                       # near-dup of 0
+            base.replace("fox", "cat"),            # near-dup of 0
+            "completely different words about databases and query engines",
+            "completely different words about databases and query planners",  # near-dup of 3
+            "unrelated short text one",
+            "unrelated совершенно другой text two",
+            "numbers 1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 18",
+        ],
+        "lang": ["en"] * 8,
+        "source": ["t"] * 8,
+        "n_chars": [0] * 8,
+    }
+    d = tmp_path / "planted"
+    d.mkdir()
+    pq.write_table(pa.table(rows), str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_minhash_finds_planted_dups(ray_session, tmp_path):
+    from crawler_ray.pipelines.dedup import minhash_pairs
+
+    sf = _planted_docs(tmp_path)
+    pairs = to_df(minhash_pairs(sf, threshold=0.4))
+    found = {tuple(sorted(p)) for p in zip(pairs["a"], pairs["b"])}
+    assert (0, 1) in found
+    assert (0, 2) in found
+    assert (3, 4) in found
+    assert all({a, b} & {5, 6, 7} == set() for a, b in found)
+
+
+def test_ngram_jaccard_verifies(ray_session, tmp_path):
+    from crawler_ray.pipelines.dedup import minhash_pairs, ngram_jaccard_pairs
+
+    sf = _planted_docs(tmp_path)
+    pairs = to_df(ngram_jaccard_pairs(sf, candidates=minhash_pairs(sf, threshold=0.2)))
+    found = {tuple(sorted(p)): j for *p, j in zip(pairs["a"], pairs["b"], pairs["jaccard"])}
+    assert found[(0, 1)] > 0.8
+    assert 0.5 < found[(0, 2)] <= 1.0
+
+
+def test_simhash_finds_planted_dups(ray_session, tmp_path):
+    from crawler_ray.pipelines.dedup import simhash_pairs
+
+    sf = _planted_docs(tmp_path)
+    pairs = to_df(simhash_pairs(sf, max_hamming=8))
+    found = {tuple(sorted(p)) for p in zip(pairs["a"], pairs["b"])}
+    assert (0, 1) in found or (0, 2) in found
+
+
+def test_ann_lsh_recall(ray_session):
+    from crawler_ray.pipelines.similarity import ann_bruteforce, ann_lsh
+
+    exact = to_df(ann_bruteforce(SF, n_queries=3, k=5))
+    approx = to_df(ann_lsh(SF, n_queries=3, k=5))
+    recall = []
+    for qid in exact["qid"].unique():
+        e = set(exact.loc[exact["qid"] == qid, "vec_id"])
+        a = set(approx.loc[approx["qid"] == qid, "vec_id"])
+        recall.append(len(e & a) / len(e))
+    assert np.mean(recall) >= 0.2  # approximate by design; must be nonzero
+    # self-match must always be found (it shares the query's bucket)
+    for qid in exact["qid"].unique():
+        assert qid in set(approx.loc[approx["qid"] == qid, "vec_id"])
+
+
+def test_media_decode_stub(ray_session):
+    from crawler_ray.pipelines.multimodal import MediaDecodeStub, media_features
+
+    out = to_df(media_features(SF))
+    assert len(out) > 0
+    assert out["is_stub"].all()
+    assert all(len(f) == 8 for f in out["features"])
+    # determinism: same ref → same features
+    dup = out.groupby("media_ref")["features"].apply(
+        lambda s: len({tuple(np.asarray(f)) for f in s})
+    )
+    assert (dup == 1).all()
+    # the real-decode path is an explicit stub
+    import pyarrow as pa
+
+    stub = MediaDecodeStub(real=True)
+    with pytest.raises(NotImplementedError):
+        stub(pa.table({"doc_id": ["d"], "media_ref": ["m"]}))
+
+
+def test_quality_and_langid_shapes(ray_session):
+    q = to_df(entrymod.queries()["quality"](SF))
+    assert ((q["quality"] >= 0) & (q["quality"] <= 1)).all()
+    l = to_df(entrymod.queries()["lang_id"](SF))
+    assert set(l.columns) == {"doc_id", "pred_lang", "lang_score"}
+    assert len(l) == len(q)
