@@ -1,0 +1,377 @@
+"""Benchmark harness (driver contract).
+
+Default: runs the headline suite over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32) and
+prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...},
+   "sf": ..., "num_cpus": N, "crawl_pages_per_sec": ..., "dedup_ops_per_sec": ...}
+
+--scaling: runs the scaling job (one distributed frontier wave + document
+processing over the ~480k-doc bench corpus — the crawl's inner job) in FRESH
+processes at num_cpus=8 and 32 on the same input and prints both throughputs
++ efficiency (eff = (t_8/t_32)/4; 1.0 = linear). Each level executes the job
+twice in its process and reports the warm (min) time — the first run pays
+worker-process spin-up, which a standing cluster would not.
+
+--job-only: internal mode used by --scaling (single job, one JSON line).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# bench-scale synthetic corpora (cached under /tmp by spec hash)
+BENCH_HOSTS = 8
+BENCH_PAGES = 12500                                  # ~100k docs; crawl e2e
+SCALING_PAGES = int(os.environ.get("GRAFT_SCALING_PAGES", "60000"))  # ~480k docs
+
+
+def _bench_spec():
+    from crawler_ray.synth import CorpusSpec
+
+    return CorpusSpec(n_hosts=BENCH_HOSTS, pages_per_host=BENCH_PAGES)
+
+
+def _scaling_spec():
+    # realistic page weight: ~25 spans/page, 24-word text spans (~2 KB text)
+    from crawler_ray.synth import CorpusSpec
+
+    return CorpusSpec(
+        n_hosts=BENCH_HOSTS,
+        pages_per_host=SCALING_PAGES,
+        min_spans=10,
+        max_spans=40,
+        words_per_text=24,
+    )
+
+
+_PROC_STATE: dict = {}
+
+
+def process_docs(t):
+    """Fused per-batch document processing on fetched pages: per-doc text
+    assembly from spans + quality scoring + language ID + MinHash signatures —
+    the training-data half of a crawl+process pipeline. Heavy bits are
+    initialised once per worker process (actor-style amortization)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from crawler_ray.pipelines.dedup import minhash_signatures_batch
+    from crawler_ray.pipelines.text import LangId, QualityScore
+
+    if "langid" not in _PROC_STATE:
+        _PROC_STATE["langid"] = LangId()
+        _PROC_STATE["quality"] = QualityScore()
+    spans = t["spans"].combine_chunks()
+    flat = pc.list_flatten(spans)
+    parents = pc.list_parent_indices(spans)
+    idx = pc.indices_nonzero(pc.equal(pc.struct_field(flat, "kind"), "text"))
+    texts = pc.take(pc.struct_field(flat, "text"), idx).to_pandas()
+    par = pc.take(parents, idx).to_numpy()
+    joined = texts.groupby(par).agg(" ".join)
+    full = np.full(len(t), "", dtype=object)
+    full[joined.index.to_numpy()] = joined.to_numpy()
+    df = pd.DataFrame({"doc_id": np.arange(len(t)), "text": full})
+    q = _PROC_STATE["quality"](df)
+    l = _PROC_STATE["langid"](df)
+    minhash_signatures_batch(df)
+    return pa.table(
+        {
+            "url": t["url"].combine_chunks(),
+            "quality": pa.array(q["quality"].to_numpy()),
+            "pred_lang": pa.array(l["pred_lang"].to_numpy(), pa.string()),
+        }
+    )
+
+
+def _init_ray():
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    return ray
+
+
+def _warm_cache(paths):
+    for p in paths:
+        if os.path.exists(p):
+            with open(p, "rb") as f:
+                while f.read(1 << 24):
+                    pass
+
+
+def scaling_job(spec=None) -> dict:
+    """One distributed frontier wave over the scaling corpus (~480k docs):
+    select → fetch lookup join → extract links → candidate unique (groupby) →
+    seen anti-join. Compute-dominated, shuffle-bearing — the unit of work the
+    crawl repeats; throughput = pages/sec. Actors are warmed (corpus shards
+    loaded) before the clock starts: the measured job is wave processing on a
+    standing cluster, not cold data loading."""
+    import ray
+    import pyarrow.parquet as pq
+
+    from crawler_ray.config import CrawlConfig
+    from crawler_ray.engine import CrawlEngine
+    from crawler_ray.synth import corpus_path
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawler_ray import schemas, urlnorm
+
+    spec = spec or _scaling_spec()
+    cp = corpus_path(spec)
+    _warm_cache([cp])
+    cfg = CrawlConfig(
+        url=f"https://{spec.host(0)}/",
+        small_round_threshold=0,
+        n_corpus_shards=8,
+        n_seen_shards=8,
+        seen_capacity=1 << 20,
+        respect_robots_txt=False,
+    )
+    eng = CrawlEngine(cp, cfg, None)
+
+    def to_frontier(t: pa.Table) -> pa.Table:
+        n = len(t)
+        arr = t["doc_id"].combine_chunks()
+        import numpy as np
+
+        return pa.Table.from_arrays(
+            [
+                arr,
+                urlnorm.host_of(arr),
+                pa.array(np.zeros(n, dtype="int32")),
+                pa.array(np.zeros(n, dtype="float64")),
+                pa.array([""] * n, pa.string()),
+                pa.array([cfg.crawl_id] * n, pa.string()),
+                pa.array(np.zeros(n, dtype="int32")),
+            ],
+            schema=schemas.FRONTIER,
+        )
+
+    try:
+        frontier = (
+            rd.read_parquet(cp, columns=["doc_id"])
+            .map_batches(to_frontier, batch_format="pyarrow")
+            .materialize()
+        )
+        ray.get([s.num_docs.remote() for s in eng.corpus])  # warm shards
+        t0 = time.time()
+        n_pages, n_novel, fetched = eng.run_wave(frontier)
+        # training-data processing half: quality + langid + minhash over pages
+        # (repartition: enough blocks to keep every core busy)
+        processed = fetched.repartition(NUM_CPUS * 3).map_batches(
+            process_docs, batch_format="pyarrow", zero_copy_batch=True
+        )
+        n_processed = processed.count()
+        wall = time.time() - t0
+    finally:
+        eng.close()
+    return {
+        "pages": n_pages,
+        "novel": n_novel,
+        "processed": n_processed,
+        "sec": round(wall, 3),
+        "pages_per_sec": round(n_pages / wall, 1),
+    }
+
+
+def crawl_e2e() -> dict:
+    """Full BFS crawl of the seed host on the bench corpus (adaptive
+    coordinator/distributed rounds)."""
+    import pyarrow.parquet as pq
+
+    from crawler_ray.config import CrawlConfig
+    from crawler_ray.engine import run_crawl
+    from crawler_ray.synth import corpus_path, robots_path
+
+    spec = _bench_spec()
+    cp = corpus_path(spec)
+    robots = pq.read_table(robots_path(spec))
+    cfg = CrawlConfig(
+        url=f"https://{spec.host(0)}/",
+        sitemap=True,
+        n_corpus_shards=8,
+        n_seen_shards=8,
+        seen_capacity=1 << 19,
+        small_round_threshold=4000,
+    )
+    t0 = time.time()
+    res = run_crawl(cp, cfg, robots)
+    wall = time.time() - t0
+    return {
+        "pages": res.pages_fetched,
+        "rounds": res.rounds,
+        "sec": round(wall, 3),
+        "pages_per_sec": round(res.pages_fetched / wall, 1),
+    }
+
+
+def dedup_microbench(n: int = 2_000_000, shards: int = 8) -> dict:
+    """Frontier-dedup ops/sec: N unique URLs routed to sharded SeenShard
+    actors in 64k batches (the T1 anti-join hot path)."""
+    import numpy as np
+    import ray
+
+    from crawler_ray.state.seen import SeenShard, stable_hash64
+
+    RSeen = ray.remote(SeenShard)
+    actors = [RSeen.remote(i, capacity=1 << 19, exact=True) for i in range(shards)]
+    base = np.arange(n)
+    urls = np.char.add("https://bench.test/p", base.astype("U8")).astype(object)
+    shard = (stable_hash64(urls) % shards).astype(np.int64)
+    by_shard = [urls[shard == s] for s in range(shards)]
+    ray.get([a.size.remote() for a in actors])  # actors ready
+    t0 = time.time()
+    refs = []
+    B = 65536
+    for s, arr in enumerate(by_shard):
+        for i in range(0, len(arr), B):
+            refs.append(actors[s].check_and_add.remote(list(arr[i : i + B])))
+    novel = sum(m.sum() for m in ray.get(refs))
+    wall = time.time() - t0
+    for a in actors:
+        ray.kill(a)
+    assert novel == n
+    return {"ops": n, "sec": round(wall, 3), "ops_per_sec": round(n / wall, 1)}
+
+
+def query_suite() -> dict:
+    from crawler_ray.pipelines import dedup as D
+    from crawler_ray.pipelines import relational as R
+    from crawler_ray.pipelines import similarity as S
+    from crawler_ray.pipelines import crawlq as C
+    from crawler_ray.pipelines import text as T
+
+    def consume(x):
+        # materialize fully (Datasets are lazy)
+        if hasattr(x, "to_pandas"):
+            return len(x.to_pandas())
+        return len(x)
+
+    out = {}
+    for name, fn in [
+        ("q1_pricing_summary", R.q1_pricing_summary),
+        ("filter_project", R.filter_project),
+        ("nation_revenue", R.nation_revenue),
+        ("events_hourly", R.events_hourly),
+        ("top_orders", R.top_orders),
+        ("token_stats", T.token_stats),
+        ("exact_dedup", D.exact_dedup),
+        ("minhash_pairs", D.minhash_pairs),
+        ("ann_bruteforce", S.ann_bruteforce),
+        ("corpus_links", C.corpus_links),
+    ]:
+        t0 = time.time()
+        consume(fn(SF_DIR))
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main_full():
+    ray = _init_ray()
+    t_all = time.time()
+    crawl = crawl_e2e()
+    wave = scaling_job(_bench_spec())
+    dedup = dedup_microbench()
+    queries = query_suite()
+    total = round(time.time() - t_all, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "crawl pages/sec + frontier-dedup ops/sec + query suite sec",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": SF_DIR,
+                "num_cpus": NUM_CPUS,
+                "crawl_pages_per_sec": crawl["pages_per_sec"],
+                "crawl_e2e": crawl,
+                "wave_pages_per_sec": wave["pages_per_sec"],
+                "wave": wave,
+                "dedup_ops_per_sec": dedup["ops_per_sec"],
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def main_job_only():
+    ray = _init_ray()
+    runs = [scaling_job(), scaling_job()]  # first run warms worker processes
+    wave = min(runs, key=lambda r: r["sec"])
+    print(
+        json.dumps(
+            {
+                "value": wave["sec"],
+                "unit": "sec",
+                **wave,
+                "runs_sec": [r["sec"] for r in runs],
+                "num_cpus": NUM_CPUS,
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def main_scaling():
+    # pre-generate the corpus so both runs measure compute, not generation
+    from crawler_ray.synth import corpus_path
+
+    corpus_path(_scaling_spec())
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--job-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "job": "distributed frontier wave (fetch join + extract + unique + anti-join)",
+                "pages": lo["pages"],
+                "sec_8": lo["value"],
+                "sec_32": hi["value"],
+                "pages_per_sec_8": lo["pages_per_sec"],
+                "pages_per_sec_32": hi["pages_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        main_scaling()
+    elif "--job-only" in sys.argv:
+        main_job_only()
+    else:
+        main_full()

@@ -5,9 +5,14 @@ parse → extract links → dedup vs visited → next frontier) as:
 
     frontier ─select(quota/priority)─► fetched = map_batches(fetch join)
              └ deferred ┐                   │ write results (round-partitioned)
-                        │             extract_links ─ candidate filter ─ unique
-                        │                   │ (groupby('dst') Min — combiner first)
-                        └──────── union ── novel = map_batches(seen anti-join)
+                        │             extract_links ─ candidate filter ─ combine
+                        │                   │ (per-batch argmin) ─ claim→shards
+                        └──────── union ── novel = SeenShard.harvest() per shard
+
+Per-round dedup+unique costs NO sort shuffle: per-batch combiners shrink the
+candidate stream, a hash-routed `claim` registers (url → min (depth,parent))
+on the owning SeenShard, and `harvest` commits and emits the novel frontier
+rows deterministically (claim order cannot change the arg-min).
 
 State lives in long-lived actors created once per crawl (SeenShard × N,
 CorpusShard × M) — not per-round actor pools — so per-round overhead is task
@@ -57,12 +62,8 @@ from .functions.extract import extract_links
 from .oracle import host_of as _host_of_one  # plain-python for single seeds
 from .oracle import norm as _norm_one
 from .oracle import path_of as _path_of_one
-from .stages.candidates import (
-    combine_candidates_batch,
-    make_candidate_filter,
-    unpack_winners,
-)
-from .stages.dedup import make_dedup_fn
+from .stages.candidates import combine_candidates_batch, make_candidate_filter
+from .stages.dedup import make_claim_fn
 from .stages.fetch import CorpusShard, make_fetch_fn
 from .stages.select import select_frontier, select_small
 from .state.robots import RobotsPolicy
@@ -96,6 +97,9 @@ class CrawlEngine:
         self.cfg = cfg
         self.corpus_path = corpus_parquet
         self.policy = RobotsPolicy.from_table(robots_table)
+        # note: ShuffleStrategy.HASH_SHUFFLE looked faster on an isolated
+        # groupby microbench but regressed the full round pipeline ~20×
+        # (aggregator schema churn) — keep the default sort shuffle.
         RSeen = ray.remote(SeenShard)
         self.seen = [
             RSeen.remote(i, cfg.seen_capacity) for i in range(cfg.n_seen_shards)
@@ -209,13 +213,18 @@ class CrawlEngine:
         return pa.concat_tables(parts).cast(schemas.FRONTIER).combine_chunks()
 
     def _nblocks(self, rows: int) -> int:
+        """Fetch-stage block count. Fewer, bigger blocks win here: every fetch
+        task blocks on `n_corpus_shards` actor round-trips, so task count ≫
+        actor count just thrashes the scheduler (measured 10× slowdown at
+        32 blocks vs 8 for 100k rows). Target ≥32k rows per block, bounded by
+        [n_corpus_shards, num_cpus]."""
         import ray
 
         cpus = int(ray.cluster_resources().get("CPU", 4))
         if rows <= 0:
             return 1
-        by_batch = -(-rows // max(1, self.cfg.batch_size))
-        return max(1, min(cpus * 2, max(by_batch, min(cpus, -(-rows // 256)))))
+        want = max(self.cfg.n_corpus_shards, -(-rows // 32768))
+        return max(1, min(cpus, want))
 
     # ------------------------------------------------------------------ #
     # small-round coordinator path — same kernels, driver-side control
@@ -257,8 +266,16 @@ class CrawlEngine:
         links = extract_links(fetched)
         cand = make_candidate_filter(cfg, self.seed_host, self.policy)(links)
         packed = combine_candidates_batch(cand)  # single batch ⇒ exact global min
-        winners = unpack_winners(packed)
-        novel = make_dedup_fn(self.seen, cfg.n_seen_shards, cfg.crawl_id, r + 1)(winners)
+        make_claim_fn(self.seen, cfg.n_seen_shards)(packed)
+        import ray
+
+        parts = ray.get(
+            [s.harvest.remote(cfg.crawl_id, r + 1) for s in self.seen]
+        )
+        parts = [p for p in parts if p.num_rows]
+        novel = (
+            pa.concat_tables(parts) if parts else schemas.FRONTIER.empty_table()
+        )
         self._lineage("discover", fetched.num_rows, novel.num_rows, (time.time() - t0) * 1000)
 
         nxt = novel if deferred is None else pa.concat_tables([deferred, novel])
@@ -268,7 +285,6 @@ class CrawlEngine:
     # distributed round — the Ray Data pipeline (the at-scale path)
     def _round_distributed(self, frontier, out_dir: str):
         import ray.data as rd
-        from ray.data.aggregate import Min
 
         cfg, r = self.cfg, self.round
         n_front = frontier.count()
@@ -303,7 +319,7 @@ class CrawlEngine:
             .map_batches(
                 make_fetch_fn(self.corpus, cfg.n_corpus_shards, cfg.crawl_id, r),
                 batch_format="pyarrow",
-                batch_size=cfg.batch_size,
+                batch_size=None,  # one call per block; shard routing inside
                 zero_copy_batch=True,
             )
             .materialize()
@@ -327,11 +343,12 @@ class CrawlEngine:
             batch_format="pyarrow",
         )
         packed = cand.map_batches(combine_candidates_batch, batch_format="pyarrow")
-        unique = packed.groupby("dst").aggregate(Min("pack", alias_name="pack"))
-        winners = unique.map_batches(unpack_winners, batch_format="pyarrow")
-        novel = winners.map_batches(
-            make_dedup_fn(self.seen, cfg.n_seen_shards, cfg.crawl_id, r + 1),
-            batch_format="pyarrow",
+        claims = packed.map_batches(
+            make_claim_fn(self.seen, cfg.n_seen_shards), batch_format="pyarrow"
+        )
+        claims.count()  # barrier: every claim registered before harvest
+        novel = rd.from_arrow_refs(
+            [s.harvest.remote(cfg.crawl_id, r + 1) for s in self.seen]
         ).materialize()
         n_novel = novel.count()
         self._lineage("discover", n_pages, n_novel, (time.time() - t0) * 1000)
@@ -532,6 +549,60 @@ class CrawlEngine:
                     if d.startswith("round=") and int(d.split("=")[1]) >= eng.round:
                         shutil.rmtree(os.path.join(fdir, d), ignore_errors=True)
         return eng
+
+
+    # ------------------------------------------------------------------ #
+    def run_wave(self, urls: list[str] | pa.Table, out_dir: str = ""):
+        """Process ONE frontier wave over a given URL list / frontier table /
+        frontier Dataset (batch-scan of known pages — the distributed inner
+        job of the crawl; also the scaling-bench workload): politeness select
+        → fetch join → extract → candidate unique → seen anti-join.
+        Returns (fetched_rows, novel_rows, fetched_dataset)."""
+        import ray.data as rd
+
+        from . import urlnorm
+
+        if not isinstance(urls, (pa.Table, list)):
+            ds = urls.materialize()  # already a frontier Dataset
+            if not self.seed_host:
+                self.seed_host = _host_of_one(_norm_one(self.cfg.url) or "")
+            fetched, nxt, _ = self._round_distributed(ds, out_dir)
+            self.round += 1
+            return (
+                fetched.count() if fetched is not None else 0,
+                _nrows(nxt),
+                fetched,
+            )
+        if isinstance(urls, pa.Table):
+            tab = urls
+        else:
+            n = len(urls)
+            arr = pa.array(urls, pa.string())
+            hosts = urlnorm.host_of(arr)
+            tab = pa.Table.from_arrays(
+                [
+                    arr,
+                    hosts,
+                    pa.array([0] * n, pa.int32()),
+                    pa.array([0.0] * n, pa.float64()),
+                    pa.array([""] * n, pa.string()),
+                    pa.array([self.cfg.crawl_id] * n, pa.string()),
+                    pa.array([0] * n, pa.int32()),
+                ],
+                schema=schemas.FRONTIER,
+            )
+        if not self.seed_host:
+            self.seed_host = _host_of_one(_norm_one(self.cfg.url) or "") or (
+                tab.column("host")[0].as_py() if tab.num_rows else ""
+            )
+        ds = rd.from_arrow(tab).materialize()
+        fetched, nxt, _ = self._round_distributed(ds, out_dir)
+        self.round += 1
+        return (
+            fetched.count() if fetched is not None else 0,
+            _nrows(nxt),
+            fetched,
+        )
 
 
 # ---------------------------------------------------------------------- #

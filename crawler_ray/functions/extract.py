@@ -41,12 +41,11 @@ def extract_links(batch: pa.Table) -> pa.Table:
     depth = pc.take(batch.column("depth"), src_rows)
     crawl_id = pc.take(batch.column("crawl_id"), src_rows)
 
-    dst = urlnorm.normalize(targets)
+    dst, dst_host = urlnorm.normalize_and_host(targets)
     # relative / unparsable targets: resolve against src then re-normalize
     if pc.any(pc.is_null(dst)).as_py():
         resolved = urlnorm.resolve(targets, src)
-        dst = urlnorm.normalize(resolved)
-    dst_host = urlnorm.host_of(dst)
+        dst, dst_host = urlnorm.normalize_and_host(resolved)
 
     out = pa.Table.from_arrays(
         [

@@ -47,7 +47,10 @@ def exact_dedup(sf_dir: str):
     ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         prep, batch_format="pandas", batch_size=16384
     )
-    out = ds.groupby("h").aggregate(Min("doc_id", alias_name="doc_id"))
+    # repartition pins the shuffle partition count: Ray's sort-aggregate sizes
+    # partitions from the pre-combiner plan (e.g. 64 read blocks → 64² tiny
+    # shuffle tasks, ~14s for 5k rows); post-combiner the data is small
+    out = ds.repartition(8).groupby("h").aggregate(Min("doc_id", alias_name="doc_id"))
     return out.select_columns(["doc_id"])
 
 
@@ -125,6 +128,62 @@ def _band_hashes(sig: np.ndarray) -> np.ndarray:
     return out
 
 
+def _bucket_pairs_by_join(bands, cap: int = _BUCKET_CAP, num_partitions: int = 8):
+    """(bucket-key..., doc_id) rows → distinct candidate pairs (a < b), fully
+    vectorized: bucket sizes via grouped Count, size-gate (2..cap — oversized
+    buckets are degenerate and skipped; their members still pair via other
+    bands), then a hash-partitioned SELF-JOIN on the bucket key. Replaces
+    per-group Python (map_groups over ~1e5 tiny groups was ~100× slower)."""
+    from ray.data.aggregate import Count
+
+    key = ["band", "bh"]
+    bands = bands.repartition(num_partitions).materialize()
+    # skew gate: oversized buckets are rare degenerate clusters — collect just
+    # their keys to the driver and broadcast-filter them out (a join against
+    # the full size table hits Ray's empty-hash-partition schema loss)
+    sizes = bands.groupby(key).aggregate(Count(alias_name="n"))
+    big = sizes.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], cap)).drop_columns(["n"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if len(big):
+        with np.errstate(over="ignore"):
+            bad = (big["bh"].to_numpy(dtype=np.int64) << 3) | (
+                big["band"].to_numpy(dtype=np.int64) & 7
+            )
+
+        def drop_big(t: pa.Table) -> pa.Table:
+            with np.errstate(over="ignore"):
+                k = (
+                    t["bh"].combine_chunks().to_numpy(zero_copy_only=False) << 3
+                ) | (t["band"].combine_chunks().to_numpy(zero_copy_only=False) & 7)
+            keep = ~np.isin(k, bad)
+            return t.filter(pa.array(keep))
+
+        bands = bands.map_batches(drop_big, batch_format="pyarrow").materialize()
+    pairs_raw = bands.join(
+        bands,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=tuple(key),
+        left_suffix="_l",
+        right_suffix="_r",
+    )
+
+    def ordered(t: pa.Table) -> pa.Table:
+        keep = pc.less(t["doc_id_l"], t["doc_id_r"])
+        t = t.filter(keep)
+        return pa.table({"a": t["doc_id_l"].combine_chunks(), "b": t["doc_id_r"].combine_chunks()})
+
+    pairs = pairs_raw.map_batches(ordered, batch_format="pyarrow")
+    return (
+        pairs.repartition(num_partitions)
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="n"))
+        .select_columns(["a", "b"])
+    )
+
+
 def minhash_pairs(sf_dir: str, threshold: float = 0.5):
     """MinHash-LSH near-dup candidate pairs with signature verification.
 
@@ -144,28 +203,16 @@ def minhash_pairs(sf_dir: str, threshold: float = 0.5):
         doc = t["doc_id"].combine_chunks()
         return pa.table(
             {
-                "band": pa.array(np.tile(np.arange(_N_BANDS, dtype=np.int32), n)),
-                "bh": pa.array(bh.reshape(-1)),
+                "band": pa.array(np.tile(np.arange(_N_BANDS, dtype=np.int64), n)),
+                # int64 join key: uint64 ≥ 2^63 falls back to pickled-object
+                # columns inside Dataset.join and breaks the hash aggregator
+                "bh": pa.array(bh.reshape(-1).astype(np.int64)),
                 "doc_id": pa.array(np.repeat(doc.to_numpy(zero_copy_only=False), _N_BANDS)),
             }
         )
 
     bands = sigs.map_batches(explode_bands, batch_format="pyarrow")
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        docs = np.sort(g["doc_id"].unique())[:_BUCKET_CAP]
-        if len(docs) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        ia, ib = np.triu_indices(len(docs), k=1)
-        return pd.DataFrame({"a": docs[ia], "b": docs[ib]})
-
-    pairs = (
-        bands.groupby(["band", "bh"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["a", "b"])
-        .count()
-        .select_columns(["a", "b"])
-    )
+    pairs = _bucket_pairs_by_join(bands)
 
     # verification: signature-estimated Jaccard. Small-side broadcast of the
     # signature matrix; at 10^10 docs this becomes two hash-partitioned joins
@@ -241,27 +288,13 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
         chunks = [(sim >> np.uint64(16 * c)) & np.uint64(0xFFFF) for c in range(4)]
         return pa.table(
             {
-                "chunk": pa.array(np.repeat(np.arange(4, dtype=np.int32), len(doc))),
-                "val": pa.array(np.concatenate(chunks)),
+                "band": pa.array(np.repeat(np.arange(4, dtype=np.int64), len(doc))),
+                "bh": pa.array(np.concatenate(chunks).astype(np.int64)),
                 "doc_id": pa.array(np.tile(doc, 4)),
             }
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        docs = np.sort(g["doc_id"].unique())[:_BUCKET_CAP]
-        if len(docs) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        ia, ib = np.triu_indices(len(docs), k=1)
-        return pd.DataFrame({"a": docs[ia], "b": docs[ib]})
-
-    pairs = (
-        sigs.map_batches(explode_chunks, batch_format="pyarrow")
-        .groupby(["chunk", "val"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["a", "b"])
-        .count()
-        .select_columns(["a", "b"])
-    )
+    pairs = _bucket_pairs_by_join(sigs.map_batches(explode_chunks, batch_format="pyarrow"))
     pdf = sigs.to_pandas()
     sim_map = dict(zip(pdf["doc_id"], pdf["simhash"].astype(np.uint64)))
     ref = ray.put(sim_map)

@@ -47,20 +47,21 @@ def q1_pricing_summary(sf_dir: str):
     cutoff = pa.scalar(pd.Timestamp("1998-09-02"), pa.timestamp("us"))
 
     def partial(t: pa.Table) -> pa.Table:
+        # integer-exact money units (cents / 1e-4): float partial sums differ
+        # between engines in summation order, which flips rounded digits on
+        # exact .xx5 boundaries — integer sums are order-independent and the
+        # derived doubles match DuckDB bit-for-bit
         t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
-        disc_price = pc.multiply(
-            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
-        )
-        t = t.append_column("disc_price", disc_price)
-        df = t.select(
-            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "disc_price"]
-        ).to_pandas()
+        df = t.to_pandas()
+        disc = df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy())
+        df["base_cents"] = round_np(df["l_extendedprice"].to_numpy() * 100.0, 0).astype("int64")
+        df["disc_u"] = round_np(disc * 10000.0, 0).astype("int64")
         g = (
             df.groupby(["l_returnflag", "l_linestatus"], sort=False)
             .agg(
                 sum_qty=("l_quantity", "sum"),
-                sum_base_price=("l_extendedprice", "sum"),
-                sum_disc_price=("disc_price", "sum"),
+                base_cents=("base_cents", "sum"),
+                disc_u=("disc_u", "sum"),
                 count_order=("l_quantity", "size"),
             )
             .reset_index()
@@ -68,18 +69,19 @@ def q1_pricing_summary(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+    # repartition pins the post-combiner shuffle partition count (see dedup.py)
+    out = partials.repartition(8).groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("sum_qty", alias_name="sum_qty"),
-        Sum("sum_base_price", alias_name="sum_base_price"),
-        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("base_cents", alias_name="base_cents"),
+        Sum("disc_u", alias_name="disc_u"),
         Sum("count_order", alias_name="count_order"),
     )
 
     def finish(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
         df["avg_qty"] = round_np(df["sum_qty"] / df["count_order"], 6)
-        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
-            df[c] = round_np(df[c], 2)
+        df["sum_base_price"] = df["base_cents"] / 100.0
+        df["sum_disc_price"] = df["disc_u"] / 10000.0
         return pa.Table.from_pandas(
             df[
                 [
@@ -101,9 +103,9 @@ def q1_pricing_summary(sf_dir: str):
 def q1_sql() -> str:
     return """
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2)                        AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                   AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           SUM(l_quantity)                                  AS sum_qty,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS sum_disc_price,
            ROUND(SUM(l_quantity) / COUNT(*), 6)             AS avg_qty,
            COUNT(*)                                         AS count_order
     FROM lineitem
@@ -171,23 +173,26 @@ def segment_revenue(sf_dir: str):
         seg_map = ray.get(ref)
         df = t.to_pandas()
         df["c_mktsegment"] = df["o_custkey"].map(seg_map)
+        df["cents"] = round_np(df["o_totalprice"].to_numpy() * 100.0, 0).astype("int64")
         g = (
             df.groupby("c_mktsegment", sort=False)
-            .agg(revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size"))
+            .agg(cents=("cents", "sum"), n_orders=("cents", "size"))
             .reset_index()
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     partials = ds.map_batches(attach, batch_format="pyarrow", batch_size=65536)
-    out = partials.groupby("c_mktsegment").aggregate(
-        Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders")
+    out = partials.repartition(8).groupby("c_mktsegment").aggregate(
+        Sum("cents", alias_name="cents"), Sum("n_orders", alias_name="n_orders")
     )
     return out.map_batches(
-        lambda t: t.set_column(
-            t.schema.get_field_index("revenue"),
-            "revenue",
-            round_pa(t["revenue"], 2),
+        lambda t: pa.table(
+            {
+                "c_mktsegment": t["c_mktsegment"].combine_chunks(),
+                "revenue": pc.divide(t["cents"].cast(pa.float64()), pa.scalar(100.0)),
+                "n_orders": t["n_orders"].combine_chunks(),
+            }
         ),
         batch_format="pyarrow",
     )
@@ -196,7 +201,7 @@ def segment_revenue(sf_dir: str):
 def segment_revenue_sql() -> str:
     return """
     SELECT c_mktsegment,
-           ROUND(SUM(o_totalprice), 2) AS revenue,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue,
            COUNT(*) AS n_orders
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
@@ -216,8 +221,11 @@ def nation_revenue(sf_dir: str):
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def rev(t: pa.Table) -> pa.Table:
+        import numpy as np
+
         r = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return pa.table({"l_orderkey": t["l_orderkey"].combine_chunks(), "rev": r})
+        u = round_np(r.to_numpy(zero_copy_only=False) * 10000.0, 0).astype("int64")
+        return pa.table({"l_orderkey": t["l_orderkey"].combine_chunks(), "rev_u": pa.array(u)})
 
     li = li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
@@ -235,16 +243,17 @@ def nation_revenue(sf_dir: str):
         c2n_, n2name_ = ray.get(ref)
         df = t.to_pandas()
         df["n_name"] = df["o_custkey"].map(c2n_).map(n2name_)
-        g = df.groupby("n_name", sort=False).agg(revenue=("rev", "sum")).reset_index()
+        g = df.groupby("n_name", sort=False).agg(rev_u=("rev_u", "sum")).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = joined.map_batches(attach, batch_format="pyarrow", batch_size=65536)
-    out = partials.groupby("n_name").aggregate(Sum("revenue", alias_name="revenue"))
+    out = partials.repartition(8).groupby("n_name").aggregate(Sum("rev_u", alias_name="rev_u"))
     return out.map_batches(
-        lambda t: t.set_column(
-            t.schema.get_field_index("revenue"),
-            "revenue",
-            round_pa(t["revenue"], 2),
+        lambda t: pa.table(
+            {
+                "n_name": t["n_name"].combine_chunks(),
+                "revenue": pc.divide(t["rev_u"].cast(pa.float64()), pa.scalar(10000.0)),
+            }
         ),
         batch_format="pyarrow",
     )
@@ -253,7 +262,7 @@ def nation_revenue(sf_dir: str):
 def nation_revenue_sql() -> str:
     return """
     SELECT n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -282,7 +291,11 @@ def top_orders_sql() -> str:
 def distinct_nation_keys(sf_dir: str):
     """Distinct = groupby-first (shuffle on the key; SURVEY A3)."""
     ds = _read(sf_dir, "customer", ["c_nationkey"])
-    out = ds.groupby("c_nationkey").count()
+    local = ds.map_batches(
+        lambda t: pa.table({"c_nationkey": pc.unique(t["c_nationkey"])}),
+        batch_format="pyarrow",
+    )
+    out = local.repartition(8).groupby("c_nationkey").count()
     return out.select_columns(["c_nationkey"])
 
 
@@ -302,24 +315,27 @@ def events_hourly(sf_dir: str):
     def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
         win = (df["ts"].astype("int64") // 10**6 // 3600) * 3600
-        df = df.assign(window_start=win)
+        df = df.assign(
+            window_start=win,
+            cents=round_np(df["value"].to_numpy() * 100.0, 0).astype("int64"),
+        )
         g = (
             df.groupby(["event_type", "window_start"], sort=False)
-            .agg(sum_value=("value", "sum"), n_events=("value", "size"))
+            .agg(cents=("cents", "sum"), n_events=("cents", "size"))
             .reset_index()
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-    out = partials.groupby(["event_type", "window_start"]).aggregate(
-        Sum("sum_value", alias_name="sum_value"),
+    out = partials.repartition(8).groupby(["event_type", "window_start"]).aggregate(
+        Sum("cents", alias_name="cents"),
         Sum("n_events", alias_name="n_events"),
     )
 
     def finish(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        df["avg_value"] = round_np(df["sum_value"] / df["n_events"], 6)
-        df["sum_value"] = round_np(df["sum_value"], 4)
+        df["sum_value"] = df["cents"] / 100.0
+        df["avg_value"] = round_np(df["cents"] / 100.0 / df["n_events"], 6)
         return pa.Table.from_pandas(
             df[["event_type", "window_start", "sum_value", "n_events", "avg_value"]],
             preserve_index=False,
@@ -332,9 +348,9 @@ def events_hourly_sql() -> str:
     return """
     SELECT event_type,
            CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT) AS window_start,
-           ROUND(SUM(value), 4)            AS sum_value,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value,
            COUNT(*)                        AS n_events,
-           ROUND(SUM(value) / COUNT(*), 6) AS avg_value
+           ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 / COUNT(*), 6) AS avg_value
     FROM events
     GROUP BY 1, 2
     """

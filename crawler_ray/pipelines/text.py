@@ -82,31 +82,43 @@ _STOPWORDS = {
 class LangId:
     """Heuristic language ID (SURVEY 'beyond the reference' text ops):
     function-word hit-rate per language + a CJK-codepoint ratio for zh.
-    Stateful actor stage — tables/regexes built once per actor."""
+    Stateful actor stage — regexes built once per actor; scoring is fully
+    vectorized (one compiled-alternation count per language, C-speed)."""
 
     def __init__(self):
-        self.word = re.compile(r"[^\W\d_]+", re.UNICODE)
+        self.langs = sorted(_STOPWORDS)
+        self.rx = {
+            lang: re.compile(r"\b(?:" + "|".join(sorted(sw)) + r")\b")
+            for lang, sw in _STOPWORDS.items()
+        }
         self.cjk = re.compile(r"[一-鿿]")
-        self.stop = {k: frozenset(v) for k, v in _STOPWORDS.items()}
+        self.tok = re.compile(r"\S+")
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        preds, scores = [], []
-        for text in df["text"].fillna(""):
-            if self.cjk.search(text):
-                n = len(text)
-                preds.append("zh")
-                scores.append(round(len(self.cjk.findall(text)) / max(1, n), 6))
-                continue
-            toks = [t.lower() for t in self.word.findall(text)]
-            best, best_score = "und", 0.0
-            for lang, sw in self.stop.items():
-                s = sum(1 for t in toks if t in sw) / max(1, len(toks))
-                if s > best_score:
-                    best, best_score = lang, s
-            preds.append(best)
-            scores.append(round(best_score, 6))
+        text = df["text"].fillna("")
+        lower = text.str.lower()
+        n_tok = lower.str.count(self.tok).clip(lower=1).to_numpy()
+        mat = np.vstack(
+            [lower.str.count(self.rx[lang]).to_numpy() / n_tok for lang in self.langs]
+        )
+        best = mat.argmax(axis=0)
+        best_score = mat.max(axis=0)
+        pred = np.where(
+            best_score > 0, np.array(self.langs, dtype=object)[best], "und"
+        ).astype(object)
+        cjk = text.str.count(self.cjk).to_numpy()
+        zh = cjk > 0
+        pred[zh] = "zh"
+        n_chars = text.str.len().clip(lower=1).to_numpy()
+        best_score = np.where(zh, cjk / n_chars, best_score)
+        from .rounding import round_np
+
         return pd.DataFrame(
-            {"doc_id": df["doc_id"], "pred_lang": preds, "lang_score": scores}
+            {
+                "doc_id": df["doc_id"],
+                "pred_lang": pred,
+                "lang_score": round_np(best_score, 6),
+            }
         )
 
 
@@ -123,15 +135,24 @@ class QualityScore:
 
     def __init__(self):
         self.punct = re.compile(r"[^\w\s]", re.UNICODE)
-        self.allstop = frozenset().union(*_STOPWORDS.values())
+        allstop = frozenset().union(*_STOPWORDS.values())
+        self.stop_rx = re.compile(r"\b(?:" + "|".join(sorted(allstop)) + r")\b")
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         text = df["text"].fillna("")
+        lower = text.str.lower()
         n_chars = text.str.len()
-        toks = text.str.lower().str.split()
+        toks = lower.str.split()
         n_tokens = toks.str.len()
-        uniq = toks.map(lambda ts: len(set(ts)))
-        stop_hits = toks.map(lambda ts: sum(1 for t in ts if t in self.allstop))
+        # distinct-token count vectorized: explode + per-doc nunique (C-speed)
+        ex = toks.explode()
+        ex = ex[ex.notna()]
+        uniq = (
+            ex.groupby(level=0).nunique().reindex(df.index, fill_value=0)
+            if len(ex)
+            else pd.Series(0, index=df.index)
+        )
+        stop_hits = lower.str.count(self.stop_rx)
         punct = text.str.count(self.punct)
         nt = n_tokens.clip(lower=1)
         out = pd.DataFrame(

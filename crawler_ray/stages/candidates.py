@@ -70,19 +70,22 @@ def _pack(depth: np.ndarray, src: np.ndarray) -> np.ndarray:
 
 def combine_candidates_batch(batch: pa.Table) -> pa.Table:
     """Per-batch combiner: one row per dst with the lexically-min packed
-    (depth, src) key. Shrinks the global shuffle."""
+    (depth, src) key. Dedups FIRST (vectorized sort + drop_duplicates), packs
+    only the survivors — shrinks both the string work and the global shuffle."""
     if len(batch) == 0:
         return pa.table({"dst": pa.array([], pa.string()), "pack": pa.array([], pa.string())})
     df = pd.DataFrame(
         {
             "dst": batch.column("dst").to_numpy(zero_copy_only=False),
-            "pack": _pack(
-                batch.column("depth").to_numpy(zero_copy_only=False),
-                batch.column("src").to_numpy(zero_copy_only=False),
-            ),
+            "depth": batch.column("depth").to_numpy(zero_copy_only=False),
+            "src": batch.column("src").to_numpy(zero_copy_only=False),
         }
     )
-    out = df.groupby("dst", sort=False)["pack"].min().reset_index()
+    df = df.sort_values(["dst", "depth", "src"], kind="mergesort").drop_duplicates(
+        "dst", keep="first"
+    )
+    pack = df["depth"].astype("int64").astype(str).str.zfill(10) + "|" + df["src"]
+    out = pd.DataFrame({"dst": df["dst"].to_numpy(), "pack": pack.to_numpy()})
     return pa.Table.from_pandas(out, preserve_index=False)
 
 

@@ -3,12 +3,14 @@ against the sharded seen set (SURVEY.md T1/J2/D1; reference: visited
 `HashSet::contains` inside spider, surfaced at
 /root/reference/src/scanner/crawl.rs:42-44).
 
-``make_dedup_fn`` is a stateless map_batches fn closed over the SeenShard
-actor handles: it partitions each batch of unique candidate URLs by
-``stable_hash64(url) % n_shards`` and calls ``check_and_add`` on each shard —
-returning only the novel rows, already shaped as FRONTIER rows for the next
-round. Callers guarantee per-round uniqueness of candidates (see
-candidates.py), which makes the outcome independent of message ordering.
+``make_claim_fn`` is a stateless map_batches fn closed over the SeenShard
+actor handles: it partitions each batch of per-batch-combined candidates
+(dst, pack) by ``stable_hash64(url) % n_shards`` and registers them via
+``SeenShard.claim`` — the shard keeps the lexicographic-min pack per URL, so
+the per-round unique+argmin lives with the seen state instead of costing a
+separate groupby shuffle. After the claim stage is fully consumed, the engine
+calls ``SeenShard.harvest`` on every shard to commit the round and collect
+the novel FRONTIER rows (deterministic regardless of claim arrival order).
 """
 
 from __future__ import annotations
@@ -16,41 +18,32 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .. import schemas
 from ..state.seen import stable_hash64
 
+_MAX_MSG = 262_144  # cap rows per actor message (bounds serialization spikes)
 
-def make_dedup_fn(handles: list, n_shards: int, crawl_id: str, next_round: int):
+
+def make_claim_fn(handles: list, n_shards: int):
     import ray
 
-    def dedup_batch(batch: pa.Table) -> pa.Table:
+    def claim_batch(batch: pa.Table) -> pa.Table:
         n = len(batch)
         if n == 0:
-            return schemas.FRONTIER.empty_table()
-        urls = batch.column("url").combine_chunks().to_numpy(zero_copy_only=False)
+            return pa.table({"claimed": pa.array([0], pa.int64())})
+        urls = batch.column("dst").combine_chunks().to_numpy(zero_copy_only=False)
+        packs = batch.column("pack").combine_chunks().to_numpy(zero_copy_only=False)
         shard = (stable_hash64(urls) % n_shards).astype(np.int64)
-        novel = np.zeros(n, dtype=bool)
-        refs, poss = [], []
+        refs = []
         for s in np.unique(shard):
             pos = np.flatnonzero(shard == s)
-            refs.append(handles[int(s)].check_and_add.remote([urls[i] for i in pos]))
-            poss.append(pos)
-        for pos, mask in zip(poss, ray.get(refs)):
-            novel[pos] = mask
-        sub = batch.filter(pa.array(novel))
-        m = len(sub)
-        depth = sub.column("depth").combine_chunks().cast(pa.int32())
-        return pa.Table.from_arrays(
-            [
-                sub.column("url").combine_chunks(),
-                sub.column("host").combine_chunks(),
-                depth,
-                depth.cast(pa.float64()),  # priority = depth (O1)
-                sub.column("parent").combine_chunks(),
-                pa.array([crawl_id] * m, pa.string()),
-                pa.array(np.full(m, next_round, dtype=np.int32)),
-            ],
-            schema=schemas.FRONTIER,
-        )
+            for i in range(0, len(pos), _MAX_MSG):
+                chunk = pos[i : i + _MAX_MSG]
+                refs.append(
+                    handles[int(s)].claim.remote(
+                        [urls[j] for j in chunk], [packs[j] for j in chunk]
+                    )
+                )
+        ray.get(refs)
+        return pa.table({"claimed": pa.array([n], pa.int64())})
 
-    return dedup_batch
+    return claim_batch

@@ -135,6 +135,7 @@ class SeenShard:
         self.shard_id = shard_id
         self.filter = CuckooFilter(capacity)
         self.exact = set() if exact else None
+        self.pending: dict[str, str] = {}  # url -> min pack ("depth|parent")
 
     def check_and_add(self, urls: list[str]) -> np.ndarray:
         """Returns bool mask: True where the URL was NOT seen before (and is
@@ -165,6 +166,63 @@ class SeenShard:
                 (u in self.exact for u in urls), dtype=bool, count=len(urls)
             )
         return self.filter.contains_hashes(stable_hash64(urls))
+
+    # -- per-round claim/harvest (removes the per-round groupby shuffle) ----
+    def claim(self, urls: list[str], packs: list[str]) -> int:
+        """Register candidate URLs discovered this round with their packed
+        (depth|parent) keys. Duplicate claims keep the lexicographic-min pack,
+        so the outcome is independent of task/message arrival order — this IS
+        the per-round unique+argmin that a groupby('url').Min(pack) would
+        compute, held where the seen state already lives."""
+        pend = self.pending
+        seen = self.exact if self.exact is not None else None
+        if seen is not None:
+            for u, p in zip(urls, packs):
+                if u in seen:
+                    continue
+                cur = pend.get(u)
+                if cur is None or p < cur:
+                    pend[u] = p
+        else:
+            h = self.filter.contains_hashes(stable_hash64(urls))
+            for (u, p), maybe in zip(zip(urls, packs), h):
+                if maybe:
+                    continue
+                cur = pend.get(u)
+                if cur is None or p < cur:
+                    pend[u] = p
+        return len(pend)
+
+    def harvest(self, crawl_id: str, next_round: int):
+        """Commit this round's pending claims into the seen set and return
+        them as FRONTIER-schema rows (sorted by url — deterministic)."""
+        import pyarrow as pa
+
+        from .. import schemas, urlnorm
+
+        items = sorted(self.pending.items())
+        self.pending = {}
+        if not items:
+            return schemas.FRONTIER.empty_table()
+        urls = [u for u, _ in items]
+        if self.exact is not None:
+            self.exact.update(urls)
+        self.filter.add_hashes(stable_hash64(urls))
+        depth = np.fromiter((int(p[:10]) for _, p in items), dtype=np.int32, count=len(items))
+        parent = [p[11:] for _, p in items]
+        arr = pa.array(urls, pa.string())
+        return pa.Table.from_arrays(
+            [
+                arr,
+                urlnorm.host_of(arr),
+                pa.array(depth),
+                pa.array(depth.astype(np.float64)),
+                pa.array(parent, pa.string()),
+                pa.array([crawl_id] * len(items), pa.string()),
+                pa.array(np.full(len(items), next_round, dtype=np.int32)),
+            ],
+            schema=schemas.FRONTIER,
+        )
 
     def size(self) -> int:
         return len(self.exact) if self.exact is not None else self.filter.count

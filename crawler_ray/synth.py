@@ -46,6 +46,7 @@ class CorpusSpec:
     p_subdomain: float = 0.05
     hot_host_factor: int = 1          # host 0 gets ×factor pages (skew/salting tests)
     n_subdomain_pages: int = 3        # pages on sub.{host} so subdomains=True finds them
+    words_per_text: int = 4           # words per text span (bench uses larger pages)
 
     def host(self, i: int) -> str:
         return f"site-{i:04d}.test"
@@ -99,7 +100,7 @@ def gen_host_docs(spec: CorpusSpec, host_index: int) -> pa.Table:
     dangle_draw = rng.random(total)
     dup_draw = rng.random(total)
     tgt_draw = rng.integers(0, 1 << 30, size=total)
-    word_draw = rng.integers(0, len(_WORDS), size=(total, 4))
+    word_draw = rng.integers(0, len(_WORDS), size=(total, spec.words_per_text))
     pos = 0
 
     for d, url in enumerate(all_docs):

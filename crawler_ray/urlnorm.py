@@ -60,6 +60,33 @@ def normalize(urls: pa.Array | pa.ChunkedArray) -> pa.Array:
     return pc.binary_join_element_wise(scheme, pa.scalar("://"), auth, rest, "")
 
 
+def normalize_and_host(urls: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, pa.Array]:
+    """Single-pass variant: one ``extract_regex`` yields both the normalized
+    URL and its host (the hot path in link extraction runs over every
+    discovered link — two separate passes measurably double the regex cost).
+    """
+    urls = _combine(urls)
+    trimmed = pc.utf8_trim_whitespace(urls)
+    ex = pc.extract_regex(trimmed, _URL_RE)
+    scheme = pc.utf8_lower(pc.struct_field(ex, "scheme"))
+    auth = pc.utf8_lower(pc.struct_field(ex, "auth"))
+    rest = pc.struct_field(ex, "rest")
+    auth = pc.if_else(
+        pc.equal(scheme, "https"),
+        pc.replace_substring_regex(auth, r":443$", ""),
+        pc.if_else(
+            pc.equal(scheme, "http"),
+            pc.replace_substring_regex(auth, r":80$", ""),
+            auth,
+        ),
+    )
+    rest = pc.if_else(pc.equal(rest, ""), pa.scalar("/"), rest)
+    normalized = pc.binary_join_element_wise(scheme, pa.scalar("://"), auth, rest, "")
+    host = pc.replace_substring_regex(auth, r"^[^@]*@", "")
+    host = pc.replace_substring_regex(host, r":\d+$", "")
+    return normalized, host
+
+
 def resolve(urls: pa.Array | pa.ChunkedArray, bases: pa.Array | pa.ChunkedArray) -> pa.Array:
     """Absolute-ize: rows already absolute pass through; relative rows are
     resolved against their per-row base with ``urllib.parse.urljoin`` (slow
