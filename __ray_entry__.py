@@ -48,6 +48,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": R.top_orders,
         "distinct_nation_keys": R.distinct_nation_keys,
         "events_hourly": R.events_hourly,
+        "events_lag": R.events_lag,
+        "events_running_sum": R.events_running_sum,
+        "sample_docs": R.sample_docs,
         # crawl-engine operators over the interleaved corpus
         "corpus_links": C.corpus_links,
         "span_profile": C.span_profile,
@@ -89,6 +92,9 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": R.top_orders_sql(),
         "distinct_nation_keys": R.distinct_nation_keys_sql(),
         "events_hourly": R.events_hourly_sql(),
+        "events_lag": R.events_lag_sql(),
+        "events_running_sum": R.events_running_sum_sql(),
+        "sample_docs": R.sample_docs_sql(),
         "corpus_links": C.corpus_links_sql(_SF_ORACLE),
         "span_profile": C.span_profile_sql(_SF_ORACLE),
         "token_stats": T.token_stats_sql(),

@@ -623,6 +623,23 @@ def run_crawl(
         eng.close()
 
 
+def run_jobs(
+    corpus_parquet: str,
+    jobs: list[CrawlConfig],
+    robots_table: pa.Table | None = None,
+    out_root: str = "",
+) -> list[CrawlResult]:
+    """Multiple crawl jobs (reference: one detached tokio task per gRPC
+    request, src/rpc/server.rs:35,71 — here sequential per driver; run several
+    drivers for job-level parallelism, matching the reference's
+    isolated-context design, README.md:119)."""
+    results = []
+    for cfg in jobs:
+        out = os.path.join(out_root, f"crawl={cfg.crawl_id}") if out_root else ""
+        results.append(run_crawl(corpus_parquet, cfg, robots_table, out_dir=out))
+    return results
+
+
 def run_scan(
     corpus_parquet: str,
     cfg: CrawlConfig,

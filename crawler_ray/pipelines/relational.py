@@ -354,3 +354,85 @@ def events_hourly_sql() -> str:
     FROM events
     GROUP BY 1, 2
     """
+
+
+# --------------------------------------------------------------------------- #
+def sample_docs(sf_dir: str):
+    """Deterministic systematic sample (O4 analogue with a SQL-checkable
+    selection rule — `random_sample` is seed-dependent per engine, a modulo
+    on the key is not)."""
+    import ray.data as rd
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], pa.scalar(7)), 0)),
+        batch_format="pyarrow",
+    )
+
+
+def sample_docs_sql() -> str:
+    return "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 8 = 0"
+
+
+# --------------------------------------------------------------------------- #
+def events_lag(sf_dir: str):
+    """Per-key ordered window op (LAG): groupby(user) → sort within group →
+    shift. The SURVEY §2.9 'stream-shaped' rebuild pattern — partition by key,
+    order by event time inside the group."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def lag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        cents = round_np(g["value"].to_numpy() * 100.0, 0)
+        prev = np.roll(cents, 1)
+        prev[0] = np.nan
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "prev_value": prev / 100.0,
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(lag, batch_format="pandas")
+
+
+def events_lag_sql() -> str:
+    return """
+    SELECT event_id, user_id,
+           LAG(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) / 100.0 AS prev_value
+    FROM events
+    """
+
+
+# --------------------------------------------------------------------------- #
+def events_running_sum(sf_dir: str):
+    """Per-key running aggregate (cumulative sum in exact integer cents so the
+    result is engine-independent)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def cumsum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        cents = round_np(g["value"].to_numpy() * 100.0, 0).astype("int64")
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "running_value": np.cumsum(cents) / 100.0,
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(cumsum, batch_format="pandas")
+
+
+def events_running_sum_sql() -> str:
+    return """
+    SELECT event_id, user_id,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+           ) / 100.0 AS running_value
+    FROM events
+    """

@@ -1,0 +1,61 @@
+"""CLI entry point e2e (the `ray job submit` surface) — runs in a subprocess
+with its own Ray session."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_cli(*args):
+    out = subprocess.run(
+        [sys.executable, "-m", "crawler_ray.cli", *args],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=300,
+        env={**os.environ, "RAY_DEDUP_LOGS": "0"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+@pytest.mark.slow
+def test_cli_crawl_and_resume(tmp_path):
+    ck = str(tmp_path / "ck")
+    outdir = str(tmp_path / "out")
+    r1 = _run_cli(
+        "crawl",
+        "--url",
+        "https://site-0000.test/",
+        "--sitemap",
+        "--num-cpus",
+        "4",
+        "--out",
+        outdir,
+        "--checkpoint",
+        ck,
+    )
+    assert r1["pages_fetched"] > 0 and not r1["stopped"]
+    assert os.path.exists(os.path.join(outdir, "results.parquet"))
+    # resume on a finished crawl: picks up the final checkpoint, empty
+    # frontier → no extra fetches, same visited count
+    r2 = _run_cli(
+        "crawl",
+        "--url",
+        "https://site-0000.test/",
+        "--sitemap",
+        "--num-cpus",
+        "4",
+        "--out",
+        outdir,
+        "--checkpoint",
+        ck,
+        "--resume",
+    )
+    assert r2["visited"] == r1["visited"]
+    assert r2["pages_fetched"] == r1["pages_fetched"]

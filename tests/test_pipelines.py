@@ -28,6 +28,9 @@ SQL_CHECKED = [
     "fingerprints",
     "exact_dedup",
     "ann_bruteforce",
+    "events_lag",
+    "events_running_sum",
+    "sample_docs",
 ]
 
 
