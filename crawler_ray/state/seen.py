@@ -12,13 +12,11 @@ Design for the 10^10-URL design point:
   * At sandbox/test scale every shard ALSO keeps the exact URL set; tests assert
     the filter never false-negatives and measures its FP rate. The exact set is
     what ships in the `seen` checkpoint so resume is exact.
-  * Membership-and-insert is one message per (batch, shard): the DedupRouter
-    batch fn partitions each Arrow batch by shard and fires
-    `check_and_add.remote` per shard — a hash-partitioned anti-join (J2).
-
-Determinism contract: callers must present each URL at most once per round
-(the engine pre-uniques candidates with a groupby('url') aggregate), so the
-seen-set outcome is independent of inter-actor message ordering.
+  * Membership-and-insert is one message per (batch, shard): stages/dedup.py
+    partitions each Arrow batch by shard and fires `claim.remote` per shard —
+    a hash-partitioned anti-join (J2) whose per-round unique+argmin lives on
+    the shard (claim keeps min pack; harvest commits) so ordering of claims
+    cannot change the outcome and no groupby shuffle is needed.
 """
 
 from __future__ import annotations
@@ -137,6 +135,22 @@ class SeenShard:
         self.exact = set() if exact else None
         self.pending: dict[str, str] = {}  # url -> min pack ("depth|parent")
 
+    def _maybe_grow(self, incoming: int) -> None:
+        """Rebuild the filter at 2× when the next insert burst would push it
+        past ~90% load (cuckoo insert failure territory). Only possible while
+        the exact set is kept — at the 10^10 design point shards are pre-sized
+        instead (SURVEY §7.4.7) and overflow raises."""
+        cap = self.filter.n_buckets * self.filter.bucket_size
+        if self.filter.count + incoming <= int(cap * 0.9):
+            return
+        if self.exact is None:
+            return  # let the filter raise its explicit over-capacity error
+        new = CuckooFilter(max(cap * 2, (self.filter.count + incoming) * 2))
+        urls = sorted(self.exact)
+        if urls:
+            new.add_hashes(stable_hash64(urls))
+        self.filter = new
+
     def check_and_add(self, urls: list[str]) -> np.ndarray:
         """Returns bool mask: True where the URL was NOT seen before (and is
         now marked seen). URLs must be unique within the call."""
@@ -152,9 +166,13 @@ class SeenShard:
             fn = (~maybe_seen) & (~novel)
             if fn.any():
                 raise AssertionError("cuckoo filter false negative")
+            # grow BEFORE updating exact: the rebuild re-hashes the exact set,
+            # so the new URLs must not be in it yet (they are added below)
+            self._maybe_grow(int(novel.sum()))
             self.exact.update(u for u, n in zip(urls, novel) if n)
         else:
             novel = ~maybe_seen
+            self._maybe_grow(int(novel.sum()))
         self.filter.add_hashes(h[novel])
         return novel
 
@@ -205,6 +223,7 @@ class SeenShard:
         if not items:
             return schemas.FRONTIER.empty_table()
         urls = [u for u, _ in items]
+        self._maybe_grow(len(urls))  # before exact.update (rebuild re-hashes exact)
         if self.exact is not None:
             self.exact.update(urls)
         self.filter.add_hashes(stable_hash64(urls))
