@@ -114,6 +114,56 @@ class CrawlEngine:
         self.round = 0
         self.seed_host = ""
         self._resumed_frontier: pa.Table | None = None
+        # robots learned by fetching /robots.txt docs from the corpus (S5/T2)
+        # whenever no explicit rules table was supplied
+        self._robots_from_corpus = robots_table is None and cfg.respect_robots_txt
+        self._robots_loaded = False
+
+    # ------------------------------------------------------------------ #
+    def _ensure_scope_robots(self, seed_host: str) -> None:
+        """Fetch + parse robots.txt from the corpus for every host the crawl
+        could touch (seed host, its subdomains, tld siblings per config) —
+        once per crawl, before any admissibility check. Missing robots.txt ⇒
+        permissive (reference: no rules fetched means no gate)."""
+        import ray
+
+        from . import urlnorm
+
+        if not self._robots_from_corpus or self._robots_loaded:
+            return
+        self._robots_loaded = True
+        all_hosts = sorted(
+            {h for hs in ray.get([c.hosts.remote() for c in self.corpus]) for h in hs}
+        )
+        if not all_hosts:
+            return
+        mask = urlnorm.in_scope(
+            pa.array(all_hosts, pa.string()),
+            seed_host,
+            subdomains=self.cfg.subdomains,
+            tld=self.cfg.tld,
+        ).to_pylist()
+        scope_hosts = sorted({h for h, m in zip(all_hosts, mask) if m} | {seed_host})
+        urls = [f"https://{h}/robots.txt" for h in scope_hosts]
+        n = len(urls)
+        tab = pa.Table.from_arrays(
+            [
+                pa.array(urls, pa.string()),
+                pa.array(scope_hosts, pa.string()),
+                pa.array([0] * n, pa.int32()),
+                pa.array([0.0] * n, pa.float64()),
+                pa.array([""] * n, pa.string()),
+                pa.array([self.cfg.crawl_id] * n, pa.string()),
+                pa.array([0] * n, pa.int32()),
+            ],
+            schema=schemas.FRONTIER,
+        )
+        fetched = make_fetch_fn(self.corpus, self.cfg.n_corpus_shards, self.cfg.crawl_id, -1)(tab)
+        for row in fetched.to_pylist():
+            if row["status"] != 200:
+                continue  # no robots.txt in corpus → permissive
+            lines = [sp["text"] for sp in row["spans"] if sp["kind"] == "text"]
+            self.policy.update(row["host"], RobotsPolicy.parse_robots_lines(lines))
 
     # ------------------------------------------------------------------ #
     def close(self):
@@ -165,6 +215,7 @@ class CrawlEngine:
             return schemas.FRONTIER.empty_table()
         seed_host = _host_of_one(seed)
         self.seed_host = seed_host
+        self._ensure_scope_robots(seed_host)
         urls = []
         if self._admissible_seed(seed, seed_host):
             urls.append(seed)
@@ -540,6 +591,12 @@ class CrawlEngine:
         ray.get(
             [eng.seen[sh].check_and_add.remote(urls) for sh, urls in by_shard.items()]
         )
+        hs = pq.read_table(os.path.join(ck, "host_state.parquet"))
+        for row in hs.to_pylist():
+            eng.policy.update(
+                row["host"], (tuple(row["robots_disallow"] or ()), int(row["crawl_delay_ms"]))
+            )
+        eng._robots_loaded = True  # learned rules came from the checkpoint
         eng._resumed_frontier = pq.read_table(os.path.join(ck, "frontier.parquet"))
         eng.lineage_rows = pq.read_table(os.path.join(ck, "lineage.parquet")).to_pylist()
         if out_dir:
@@ -566,6 +623,7 @@ class CrawlEngine:
             ds = urls.materialize()  # already a frontier Dataset
             if not self.seed_host:
                 self.seed_host = _host_of_one(_norm_one(self.cfg.url) or "")
+            self._ensure_scope_robots(self.seed_host)
             fetched, nxt, _ = self._round_distributed(ds, out_dir)
             self.round += 1
             return (
@@ -595,6 +653,7 @@ class CrawlEngine:
             self.seed_host = _host_of_one(_norm_one(self.cfg.url) or "") or (
                 tab.column("host")[0].as_py() if tab.num_rows else ""
             )
+        self._ensure_scope_robots(self.seed_host)
         ds = rd.from_arrow(tab).materialize()
         fetched, nxt, _ = self._round_distributed(ds, out_dir)
         self.round += 1

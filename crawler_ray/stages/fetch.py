@@ -67,6 +67,16 @@ class CorpusShard:
     def num_docs(self) -> int:
         return len(self.index)
 
+    def hosts(self) -> list[str]:
+        """Distinct hosts present in this shard (used to pre-resolve the
+        in-scope host set for robots.txt learning, S5/T2)."""
+        from .. import urlnorm
+
+        if not self.index:
+            return []
+        arr = pa.array(list(self.index.keys()), pa.string())
+        return pc.unique(urlnorm.host_of(arr)).to_pylist()
+
 
 def make_fetch_fn(handles: list, n_shards: int, crawl_id: str, fetch_round: int):
     """Stateless map_batches fn: frontier batch → FETCHED-schema batch.

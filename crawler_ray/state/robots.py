@@ -35,6 +35,30 @@ class RobotsPolicy:
             )
         return cls(rules)
 
+    @staticmethod
+    def parse_robots_lines(lines: list[str]) -> tuple[tuple[str, ...], int]:
+        """Parse robots.txt rule lines (the corpus robots.txt doc's text
+        spans) → (disallow prefixes, crawl_delay_ms). Recognises
+        ``Disallow: <prefix>`` and ``Crawl-delay: <ms>`` (unit is ms in this
+        corpus model); everything else is ignored."""
+        disallow: list[str] = []
+        delay = 0
+        for line in lines:
+            key, _, val = line.partition(":")
+            key = key.strip().lower()
+            val = val.strip()
+            if key == "disallow" and val:
+                disallow.append(val)
+            elif key == "crawl-delay" and val:
+                try:
+                    delay = max(delay, int(float(val)))
+                except ValueError:
+                    pass
+        return tuple(disallow), delay
+
+    def update(self, host: str, rules: tuple[tuple[str, ...], int]) -> None:
+        self.rules[host.lower()] = rules
+
     def allowed(self, hosts: list[str] | np.ndarray, paths: list[str] | np.ndarray) -> np.ndarray:
         """Bool mask: True where host robots rules allow the path.
 

@@ -54,8 +54,10 @@ class CorpusSpec:
     def host_page_count(self, i: int) -> int:
         return self.pages_per_host * (self.hot_host_factor if i == 0 else 1)
 
+    GEN_VERSION = 2  # bump when generator content changes for identical specs
+
     def cache_key(self) -> str:
-        return hashlib.sha1(repr(self).encode()).hexdigest()[:12]
+        return hashlib.sha1(f"{self!r}v{self.GEN_VERSION}".encode()).hexdigest()[:12]
 
 
 def _host_rng(spec: CorpusSpec, host_index: int) -> np.random.Generator:
@@ -158,6 +160,22 @@ def gen_host_docs(spec: CorpusSpec, host_index: int) -> pa.Table:
         media.append("")
         offs.append(s)
 
+    # robots.txt doc: one text span per rule line, mirroring gen_robots (S5 —
+    # the engine learns robots by fetching this doc; delay unit is ms)
+    r_disallow, r_delay = _robots_rules(spec, host_index)
+    lines = [f"Disallow: {p}" for p in r_disallow]
+    if r_delay:
+        lines.append(f"Crawl-delay: {r_delay}")
+    if not lines:
+        lines = ["Allow: /"]
+    doc_ids.append(f"https://{host}/robots.txt")
+    span_lengths.append(len(lines))
+    for s, line in enumerate(lines):
+        kinds.append("text")
+        texts.append(line)
+        media.append("")
+        offs.append(s)
+
     struct = pa.StructArray.from_arrays(
         [
             pa.array(kinds, pa.string()),
@@ -179,25 +197,27 @@ def gen_corpus(spec: CorpusSpec) -> pa.Table:
     return pa.concat_tables([gen_host_docs(spec, i) for i in range(spec.n_hosts)])
 
 
+def _robots_rules(spec: CorpusSpec, i: int) -> tuple[list[str], int]:
+    """Rule mix per FIXTURES.md §3: host 1 disallows everything, host 2 a
+    subtree, host 3 a large crawl delay, the rest permissive."""
+    if i == 1 and spec.n_hosts > 1:
+        return ["/"], 0
+    if i == 2 and spec.n_hosts > 2:
+        return ["/page-000"], 0
+    if i == 3 and spec.n_hosts > 3:
+        return [], 2000
+    return [], 0
+
+
 def gen_robots(spec: CorpusSpec) -> pa.Table:
-    """Per-host robots fixtures (FIXTURES.md §3): host 1 disallows everything,
-    host 2 disallows the /page-000* subtree, host 3 sets a large crawl delay,
-    the rest are permissive."""
+    """Per-host robots fixtures table (same rules the corpus robots.txt docs
+    encode — either source yields identical crawl behavior)."""
     hosts, disallow, delay = [], [], []
     for i in range(spec.n_hosts):
         hosts.append(spec.host(i))
-        if i == 1 and spec.n_hosts > 1:
-            disallow.append(["/"])
-            delay.append(0)
-        elif i == 2 and spec.n_hosts > 2:
-            disallow.append(["/page-000"])
-            delay.append(0)
-        elif i == 3 and spec.n_hosts > 3:
-            disallow.append([])
-            delay.append(2000)
-        else:
-            disallow.append([])
-            delay.append(0)
+        d, ms = _robots_rules(spec, i)
+        disallow.append(d)
+        delay.append(ms)
     return pa.Table.from_arrays(
         [
             pa.array(hosts, pa.string()),

@@ -111,3 +111,26 @@ def test_scan_mode_stop_callback(fixtures, ray_session, tmp_path):
     # partial crawl: engine visited ⊆ oracle visited, fetched < full
     assert set(res.visited) <= o.visited
     assert res.pages_fetched < len(o.fetched)
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(url="https://site-0000.test/"),
+        dict(url="https://site-0001.test/"),  # robots.txt disallow-all, learned
+        dict(url="https://site-0002.test/"),  # subtree disallow, learned
+        dict(url="https://site-0003.test/", delay_ms=500, round_ms=5000),  # learned delay
+    ],
+    ids=["plain", "disallow-all", "subtree", "delay"],
+)
+def test_robots_learned_from_corpus(kw, fixtures, ray_session, tmp_path):
+    """S5/T2: with no rules table the engine fetches + parses the per-host
+    robots.txt corpus docs; behavior must equal the oracle fed the fixtures
+    dict (the docs encode the same rules)."""
+    from crawler_ray.engine import run_crawl
+
+    cfg = CrawlConfig(**kw)
+    res = run_crawl(fixtures["cp"], cfg, None)  # robots_table=None → learn
+    o = oracle_crawl(fixtures["cd"], cfg, fixtures["rd"])
+    assert set(res.visited) == o.visited
+    assert res.pages_fetched == len(o.fetched)
