@@ -18,6 +18,15 @@ from typing import Any
 _SF_ORACLE = "/root/testdata/sf0.01"
 
 
+def _lazy(module: str, fn: str):
+    def call(sf_dir):
+        import importlib
+
+        return getattr(importlib.import_module(module), fn)(sf_dir)
+
+    return call
+
+
 def entry() -> Any:
     """Flagship: BFS crawl of the sf0.001-tier interleaved corpus (engine
     end-to-end: seed → politeness select → fetch join → extract → dedup) —
@@ -66,6 +75,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": D.simhash_pairs,
         "embedding_dup_pairs": D.embedding_dup_pairs,
         "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
+        # curation composition (quality gate → dedup → cluster → keep list)
+        "dup_clusters": _lazy("crawler_ray.pipelines.curate", "dup_clusters"),
+        "curate": _lazy("crawler_ray.pipelines.curate", "curate"),
         # similarity search
         "ann_bruteforce": S.ann_bruteforce,
         "ann_lsh": S.ann_lsh,

@@ -213,7 +213,6 @@ def crawl_e2e() -> dict:
         n_corpus_shards=8,
         n_seen_shards=8,
         seen_capacity=1 << 19,
-        small_round_threshold=4000,
     )
     t0 = time.time()
     res = run_crawl(cp, cfg, robots)

@@ -66,7 +66,7 @@ def q1_pricing_summary(sf_dir: str):
             )
             .reset_index()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     # repartition pins the post-combiner shuffle partition count (see dedup.py)
@@ -95,7 +95,7 @@ def q1_pricing_summary(sf_dir: str):
                 ]
             ],
             preserve_index=False,
-        )
+        ).replace_schema_metadata(None)
 
     return out.map_batches(finish, batch_format="pyarrow")
 
@@ -179,7 +179,7 @@ def segment_revenue(sf_dir: str):
             .agg(cents=("cents", "sum"), n_orders=("cents", "size"))
             .reset_index()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     partials = ds.map_batches(attach, batch_format="pyarrow", batch_size=65536)
@@ -244,7 +244,7 @@ def nation_revenue(sf_dir: str):
         df = t.to_pandas()
         df["n_name"] = df["o_custkey"].map(c2n_).map(n2name_)
         g = df.groupby("n_name", sort=False).agg(rev_u=("rev_u", "sum")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     partials = joined.map_batches(attach, batch_format="pyarrow", batch_size=65536)
     out = partials.repartition(8).groupby("n_name").aggregate(Sum("rev_u", alias_name="rev_u"))
@@ -324,7 +324,7 @@ def events_hourly(sf_dir: str):
             .agg(cents=("cents", "sum"), n_events=("cents", "size"))
             .reset_index()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     out = partials.repartition(8).groupby(["event_type", "window_start"]).aggregate(
@@ -339,7 +339,7 @@ def events_hourly(sf_dir: str):
         return pa.Table.from_pandas(
             df[["event_type", "window_start", "sum_value", "n_events", "avg_value"]],
             preserve_index=False,
-        )
+        ).replace_schema_metadata(None)
 
     return out.map_batches(finish, batch_format="pyarrow")
 

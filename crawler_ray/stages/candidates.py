@@ -79,4 +79,4 @@ def combine_candidates_batch(batch: pa.Table) -> pa.Table:
     )
     pack = df["depth"].astype("int64").astype(str).str.zfill(10) + "|" + df["src"]
     out = pd.DataFrame({"dst": df["dst"].to_numpy(), "pack": pack.to_numpy()})
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)

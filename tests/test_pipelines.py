@@ -174,3 +174,21 @@ def test_quality_and_langid_shapes(ray_session):
     l = to_df(entrymod.queries()["lang_id"](SF))
     assert set(l.columns) == {"doc_id", "pred_lang", "lang_score"}
     assert len(l) == len(q)
+
+
+def test_curation_composition(ray_session, tmp_path):
+    """curate(): planted near-dups collapse to one representative; low-quality
+    and short docs are gated out."""
+    from crawler_ray.pipelines.curate import curate, dup_clusters
+
+    sf = _planted_docs(tmp_path)
+    clusters = dup_clusters(sf, threshold=0.4).to_pandas()
+    by_cluster = clusters.groupby("cluster_id")["doc_id"].apply(set).to_dict()
+    assert {0, 1, 2} <= by_cluster.get(0, set())
+
+    kept = curate(sf, min_tokens=4, min_quality=0.0, near_dup_threshold=0.4).to_pandas()
+    kept_ids = set(kept["doc_id"])
+    assert 0 in kept_ids and 1 not in kept_ids and 2 not in kept_ids
+    assert 3 in kept_ids and 4 not in kept_ids
+    # unrelated docs with enough tokens survive
+    assert 7 in kept_ids
