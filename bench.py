@@ -81,9 +81,12 @@ def process_docs(t):
     full = np.full(len(t), "", dtype=object)
     full[joined.index.to_numpy()] = joined.to_numpy()
     df = pd.DataFrame({"doc_id": np.arange(len(t)), "text": full})
+    from crawler_ray.pipelines.dedup import simhash_signatures_batch
+
     q = _PROC_STATE["quality"](df)
     l = _PROC_STATE["langid"](df)
     minhash_signatures_batch(df)
+    simhash_signatures_batch(df)
     return pa.table(
         {
             "url": t["url"].combine_chunks(),

@@ -253,11 +253,14 @@ def simhash_signatures_batch(df: pd.DataFrame) -> pa.Table:
     tok_doc, th = tok_doc[order], th[order]
     starts = np.searchsorted(tok_doc, np.arange(n))
     counts = np.diff(np.append(starts, len(th))).astype(np.int64)
+    # trailing zero-token docs make starts[i] == len(th), which reduceat
+    # rejects — clamp for the reduction; counts==0 masking fixes the values
+    clamped = np.minimum(starts, max(len(th) - 1, 0))
     sim = np.zeros(n, dtype=np.uint64)
     for k in range(64):
         bit = ((th >> np.uint64(k)) & np.uint64(1)).astype(np.int64)
         ones = (
-            np.add.reduceat(bit, starts)
+            np.add.reduceat(bit, clamped)
             if len(th)
             else np.zeros(n, dtype=np.int64)
         )

@@ -192,3 +192,20 @@ def test_curation_composition(ray_session, tmp_path):
     assert 3 in kept_ids and 4 not in kept_ids
     # unrelated docs with enough tokens survive
     assert 7 in kept_ids
+
+
+def test_signature_batches_handle_empty_docs():
+    """Trailing zero-token docs must not break the reduceat-based signatures
+    (regression: IndexError at batch boundaries in heavy corpora)."""
+    import pandas as pd
+
+    from crawler_ray.pipelines.dedup import (
+        minhash_signatures_batch,
+        simhash_signatures_batch,
+    )
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": ["hello world x", "", None, ""]})
+    s = simhash_signatures_batch(df)
+    assert s.num_rows == 4
+    assert [v == 0 for v in s.column("simhash").to_pylist()] == [False, True, True, True]
+    assert minhash_signatures_batch(df).num_rows == 4
