@@ -134,3 +134,33 @@ def test_robots_learned_from_corpus(kw, fixtures, ray_session, tmp_path):
     o = oracle_crawl(fixtures["cd"], cfg, fixtures["rd"])
     assert set(res.visited) == o.visited
     assert res.pages_fetched == len(o.fetched)
+
+
+@pytest.mark.parametrize("seed,hot", [(43, 1), (44, 3), (1234, 2)])
+def test_randomized_corpus_equality(seed, hot, ray_session, tmp_path):
+    """Engine ≡ oracle on corpora with different seeds, skew factors and
+    higher dangling/dup rates — guards against fixture overfitting."""
+    from crawler_ray.engine import run_crawl
+    from crawler_ray.oracle import corpus_as_dict, robots_as_dict
+    from crawler_ray.synth import CorpusSpec, gen_corpus, gen_robots, corpus_path
+
+    spec = CorpusSpec(
+        seed=seed,
+        n_hosts=5,
+        pages_per_host=30,
+        hot_host_factor=hot,
+        p_dangling=0.12,
+        p_dup_link=0.3,
+    )
+    cp = corpus_path(spec)
+    cd = corpus_as_dict(gen_corpus(spec))
+    rd_ = robots_as_dict(gen_robots(spec))
+    for kw in [
+        dict(url=f"https://{spec.host(0)}/", sitemap=True, subdomains=True),
+        dict(url=f"https://{spec.host(0)}/", delay_ms=400, round_ms=2000),
+    ]:
+        cfg = CrawlConfig(**kw)
+        res = run_crawl(cp, cfg, None)  # learned robots
+        o = oracle_crawl(cd, cfg, rd_)
+        assert set(res.visited) == o.visited, kw
+        assert res.pages_fetched == len(o.fetched), kw
