@@ -229,8 +229,11 @@ def nation_revenue(sf_dir: str):
 
     li = li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    # partitions sized to data, not cores: each hash-aggregator actor has
+    # fixed startup cost (16 partitions measured 2× slower than 8 at sf0.1);
+    # at real scale pick ≈ input_bytes / 512 MB
     joined = li.join(
-        orders, join_type="inner", num_partitions=16, on=("l_orderkey",), right_on=("o_orderkey",)
+        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
     )
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
