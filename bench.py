@@ -29,7 +29,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 # bench-scale synthetic corpora (cached under /tmp by spec hash)
 BENCH_HOSTS = 8
-BENCH_PAGES = 12500                                  # ~100k docs; crawl e2e
+BENCH_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "12500"))  # ~100k docs; crawl e2e
 SCALING_PAGES = int(os.environ.get("GRAFT_SCALING_PAGES", "60000"))  # ~480k docs
 
 

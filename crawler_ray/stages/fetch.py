@@ -36,7 +36,9 @@ class CorpusShard:
     corpus parquet in ``__init__`` — once per actor, never per batch."""
 
     def __init__(self, parquet_path: str, shard_id: int, n_shards: int):
-        table = pq.read_table(parquet_path, columns=["doc_id", "spans"])
+        from ..sources.corpus import read_corpus_table
+
+        table = read_corpus_table(parquet_path, columns=["doc_id", "spans"])
         ids = table.column("doc_id").combine_chunks()
         mine = stable_hash64(ids.to_numpy(zero_copy_only=False)) % n_shards == shard_id
         self.table = table.filter(pa.array(mine)).combine_chunks()

@@ -59,3 +59,29 @@ def test_cli_crawl_and_resume(tmp_path):
     )
     assert r2["visited"] == r1["visited"]
     assert r2["pages_fetched"] == r1["pages_fetched"]
+
+
+@pytest.mark.slow
+def test_bench_smoke(tmp_path):
+    """bench.py must always print one valid JSON line (the driver's per-round
+    contract) — exercised at toy scale via env overrides."""
+    env = {
+        **os.environ,
+        "GRAFT_SF_DIR": "/root/testdata/sf0.001",
+        "RAY_GRAFT_CPUS": "4",
+        "GRAFT_BENCH_PAGES": "120",
+        "GRAFT_SCALING_PAGES": "120",
+    }
+    out = subprocess.run(
+        [sys.executable, "bench.py"],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=420,
+        env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["unit"] == "sec" and rec["value"] > 0
+    assert set(rec["queries"]) and rec["num_cpus"] == 4
+    assert rec["crawl_e2e"]["pages"] > 0 and rec["wave"]["pages"] > 0
