@@ -6,7 +6,7 @@ scheduler/scale knobs (SURVEY.md §2.10).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 
 
 @dataclass(frozen=True)

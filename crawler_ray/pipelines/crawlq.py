@@ -11,7 +11,6 @@ import os
 import re
 
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from ..config import CrawlConfig
 from ..functions.extract import extract_links, span_kind_counts

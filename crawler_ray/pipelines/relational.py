@@ -37,7 +37,7 @@ def q1_pricing_summary(sf_dir: str):
     Scale: the map_batches stage collapses each ~64k-row batch to ≤8 partial
     rows (one per group), so the global groupby shuffles a few rows per block
     instead of the whole table."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     ds = _read(
         sf_dir,

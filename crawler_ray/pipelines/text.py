@@ -12,7 +12,6 @@ import re
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 
 
 def _read_docs(sf_dir: str, columns=None):
