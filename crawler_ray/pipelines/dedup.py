@@ -5,10 +5,11 @@ reference'; reference itself only has exact URL dedup, D1).
 Scale shape shared by the near-dup pipelines:
   shingle/sign per batch (vectorized, no per-row Python in the hot loop:
   pandas explode + numpy reduceat) → explode to (bucket, doc) rows →
-  groupby(bucket) → candidate pairs → verify. Buckets are capped (128 docs) so
-  a degenerate bucket can't go quadratic; at real scale the verification side
-  re-joins signatures via a hash-partitioned join — in-sandbox it broadcasts
-  the signature matrix (documented small-side shortcut).
+  hash-partitioned self-join on the bucket key → candidate pairs → verify by
+  re-joining the candidate pairs against the signature/document table on each
+  side (two hash-partitioned joins) and comparing vectorized per batch.
+  Buckets are capped (128 docs) so a degenerate bucket can't go quadratic;
+  no stage materializes the corpus or the signature table on the driver.
 """
 
 from __future__ import annotations
@@ -34,15 +35,19 @@ def _read_docs(sf_dir: str, columns=None):
 # --------------------------------------------------------------------------- #
 def exact_dedup(sf_dir: str):
     """Exact dedup: first (min doc_id) per identical text. Hash-partitioned:
-    per-batch combiner → groupby(text hash) Min. 64-bit content hash stands in
-    for the full text on the shuffle (collision odds ~1e-11 at 6e4 docs;
-    at 10^10 scale use 128-bit)."""
+    per-batch combiner → groupby(128-bit text hash) Min. The hash is two
+    independent 64-bit siphashes (different keys), so a silent collision-merge
+    needs a simultaneous 128-bit collision (~1e-19 odds even at 10^10 docs)."""
     from ray.data.aggregate import Min
 
     def prep(df: pd.DataFrame) -> pd.DataFrame:
-        h = stable_hash64(df["text"].fillna("").to_numpy(dtype=object))
-        part = pd.DataFrame({"h": h.astype("uint64"), "doc_id": df["doc_id"]})
-        return part.groupby("h", sort=False)["doc_id"].min().reset_index()
+        texts = df["text"].fillna("").to_numpy(dtype=object)
+        h1 = stable_hash64(texts)
+        h2 = stable_hash64(texts, key="crawler_ray.dedup2")
+        part = pd.DataFrame(
+            {"h1": h1.astype("uint64"), "h2": h2.astype("uint64"), "doc_id": df["doc_id"]}
+        )
+        return part.groupby(["h1", "h2"], sort=False)["doc_id"].min().reset_index()
 
     ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         prep, batch_format="pandas", batch_size=16384
@@ -50,7 +55,7 @@ def exact_dedup(sf_dir: str):
     # repartition pins the shuffle partition count: Ray's sort-aggregate sizes
     # partitions from the pre-combiner plan (e.g. 64 read blocks → 64² tiny
     # shuffle tasks, ~14s for 5k rows); post-combiner the data is small
-    out = ds.repartition(8).groupby("h").aggregate(Min("doc_id", alias_name="doc_id"))
+    out = ds.repartition(8).groupby(["h1", "h2"]).aggregate(Min("doc_id", alias_name="doc_id"))
     return out.select_columns(["doc_id"])
 
 
@@ -147,18 +152,20 @@ def _bucket_pairs_by_join(bands, cap: int = _BUCKET_CAP, num_partitions: int = 8
         batch_format="pyarrow",
     ).to_pandas()
     if len(big):
-        with np.errstate(over="ignore"):
-            bad = (big["bh"].to_numpy(dtype=np.int64) << 3) | (
-                big["band"].to_numpy(dtype=np.int64) & 7
-            )
+        # exact (band, bh) matching — a lossy composite key could alias an
+        # innocent bucket onto a dropped one (silent recall loss); the big
+        # list is tiny (rare degenerate clusters), so k vectorized passes
+        bad_pairs = list(
+            zip(big["band"].to_numpy(dtype=np.int64), big["bh"].to_numpy(dtype=np.int64))
+        )
 
         def drop_big(t: pa.Table) -> pa.Table:
-            with np.errstate(over="ignore"):
-                k = (
-                    t["bh"].combine_chunks().to_numpy(zero_copy_only=False) << 3
-                ) | (t["band"].combine_chunks().to_numpy(zero_copy_only=False) & 7)
-            keep = ~np.isin(k, bad)
-            return t.filter(pa.array(keep))
+            band = t["band"].combine_chunks().to_numpy(zero_copy_only=False)
+            bh = t["bh"].combine_chunks().to_numpy(zero_copy_only=False)
+            drop = np.zeros(len(t), dtype=bool)
+            for b, h in bad_pairs:
+                drop |= (band == b) & (bh == h)
+            return t.filter(pa.array(~drop))
 
         bands = bands.map_batches(drop_big, batch_format="pyarrow").materialize()
     pairs_raw = bands.join(
@@ -184,12 +191,88 @@ def _bucket_pairs_by_join(bands, cap: int = _BUCKET_CAP, num_partitions: int = 8
     )
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64/int64 array (bit-pattern view →
+    unpackbits) — no per-row Python `bin(v).count`."""
+    b = np.ascontiguousarray(x).view(np.uint8).reshape(-1, 8)
+    return np.unpackbits(b, axis=1).sum(axis=1).astype(np.int64)
+
+
+def _empty_pairs(*extra: tuple[str, pa.DataType], key_type=None) -> pa.Table:
+    kt = key_type or pa.string()
+    cols = [("a", kt), ("b", kt), *extra]
+    return pa.schema(cols).empty_table()
+
+
+def _pack_u64_rows(mat: np.ndarray) -> pa.Array:
+    """(n, w) uint64 matrix → BinaryArray of n values, 8·w bytes each —
+    Acero hash joins reject list-typed payload columns, binary passes
+    through zero-copy."""
+    n, w = mat.shape
+    data = np.ascontiguousarray(mat).view(np.uint8)
+    offsets = (np.arange(n + 1, dtype=np.int32) * (8 * w)).tobytes()
+    return pa.Array.from_buffers(
+        pa.binary(), n, [None, pa.py_buffer(offsets), pa.py_buffer(data.tobytes())]
+    )
+
+
+def _unpack_u64_rows(col, n_words: int) -> np.ndarray:
+    """Inverse of :func:`_pack_u64_rows` for a (possibly sliced/chunked)
+    binary column → (n, n_words) uint64, zero-copy when contiguous."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, n_words), dtype=np.uint64)
+    width = 8 * n_words
+    offs = np.frombuffer(arr.buffers()[1], np.int32)[arr.offset : arr.offset + n + 1]
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    if (np.diff(offs) == width).all():
+        return (
+            data[offs[0] : offs[0] + n * width]
+            .reshape(n, width)
+            .view(np.uint64)
+            .copy()
+        )
+    # non-uniform slicing fallback (shouldn't happen: fixed-width payloads)
+    return np.stack([np.frombuffer(v, np.uint64) for v in arr.to_pylist()])
+
+
+def _join_pair_sides(pairs, lookup, payload: str, n_pairs: int = 0):
+    """Candidate pairs (a, b) ⋈ lookup(doc_id, <payload>) on `a` then `b` —
+    two hash-partitioned shuffle joins, the scale-safe replacement for
+    broadcasting the lookup table to every worker as a Python dict. Returns a
+    Dataset with columns (a, b, <payload>_a, <payload>_b).
+
+    num_partitions scales with the pair count and is 1 for small tables:
+    Ray's hash-shuffle join drops the schema of EMPTY partitions (measured
+    round 1 — acero then fails with 'No match for FieldRef'), so partitions
+    are sized to stay dense."""
+    num_partitions = int(np.clip(n_pairs // 4096, 1, 16))
+
+    def renamer(key: str):
+        # note: pyarrow 16.1 rename_columns silently ignores dict args —
+        # build the positional name list instead
+        def rn(t: pa.Table) -> pa.Table:
+            names = [
+                key if c == "doc_id" else (f"{payload}_{key}" if c == payload else c)
+                for c in t.column_names
+            ]
+            return t.rename_columns(names)
+
+        return rn
+
+    side_a = lookup.map_batches(renamer("a"), batch_format="pyarrow")
+    side_b = lookup.map_batches(renamer("b"), batch_format="pyarrow")
+    j = pairs.join(
+        side_a, join_type="inner", on=("a",), num_partitions=num_partitions
+    ).join(side_b, join_type="inner", on=("b",), num_partitions=num_partitions)
+    return j
+
+
 def minhash_pairs(sf_dir: str, threshold: float = 0.5):
     """MinHash-LSH near-dup candidate pairs with signature verification.
 
     Returns (a, b, est_jaccard) with a < b and est_jaccard ≥ threshold."""
-    import ray
-
     sigs = (
         _read_docs(sf_dir, ["doc_id", "text"])
         .map_batches(minhash_signatures_batch, batch_format="pandas", batch_size=8192)
@@ -212,28 +295,49 @@ def minhash_pairs(sf_dir: str, threshold: float = 0.5):
         )
 
     bands = sigs.map_batches(explode_bands, batch_format="pyarrow")
-    pairs = _bucket_pairs_by_join(bands)
+    pairs = _bucket_pairs_by_join(bands).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        import ray.data as rd
 
-    # verification: signature-estimated Jaccard. Small-side broadcast of the
-    # signature matrix; at 10^10 docs this becomes two hash-partitioned joins
-    # of pairs×signatures instead.
-    sig_pdf = sigs.to_pandas()
-    sig_map = {
-        d: np.asarray(s, dtype=np.uint64) for d, s in zip(sig_pdf["doc_id"], sig_pdf["sig"])
-    }
-    ref = ray.put(sig_map)
+        return rd.from_arrow(
+            _empty_pairs(("est_jaccard", pa.float64()), key_type=sigs.schema().types[0])
+        )
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(ref)
-        if not len(df):
-            return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
-        est = np.array(
-            [(m[a] == m[b]).mean() for a, b in zip(df["a"], df["b"])]
-        ).round(6)
-        out = df.assign(est_jaccard=est)
-        return out[out["est_jaccard"] >= threshold]
+    # verification: signature-estimated Jaccard via two hash-partitioned joins
+    # pairs×signatures, vectorized compare per batch — no driver
+    # materialization / broadcast of the signature table
+    sig_bin = sigs.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks(),
+                "sig": _pack_u64_rows(
+                    np.asarray(pc.list_flatten(t["sig"].combine_chunks())).reshape(
+                        -1, _N_HASH
+                    )
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
 
-    return pairs.map_batches(verify, batch_format="pandas")
+    def verify(t: pa.Table) -> pa.Table:
+        sa = _unpack_u64_rows(t["sig_a"], _N_HASH)
+        sb = _unpack_u64_rows(t["sig_b"], _N_HASH)
+        est = np.round((sa == sb).mean(axis=1), 6)
+        keep = est >= threshold
+        out = pa.table(
+            {
+                "a": t["a"].combine_chunks(),
+                "b": t["b"].combine_chunks(),
+                "est_jaccard": pa.array(est, pa.float64()),
+            }
+        )
+        return out.filter(pa.array(keep))
+
+    return _join_pair_sides(pairs, sig_bin, "sig", n_pairs).map_batches(
+        verify, batch_format="pyarrow"
+    )
 
 
 # --------------------------------------------------------------------------- #
@@ -276,42 +380,83 @@ def simhash(sf_dir: str):
     )
 
 
-def simhash_pairs(sf_dir: str, max_hamming: int = 3):
-    """Near-dup pairs by SimHash: bucket on each of four 16-bit chunks (any
-    pair within hamming ≤ 3 of 64 bits shares at least one exact chunk when
-    differences spread; standard pigeonhole banding for ≤3 flips over 4
-    chunks), then verify exact hamming distance."""
-    import ray
+def _simhash_chunk_bounds(max_hamming: int) -> list[tuple[int, int]]:
+    """Pigeonhole banding derived from the threshold: ``max_hamming + 1``
+    chunks guarantee any pair within hamming ≤ max_hamming shares at least one
+    exact chunk (at most max_hamming chunks can contain a flipped bit).
+    Returns [(start_bit, width), ...] covering all 64 bits."""
+    k = min(max_hamming + 1, 64)
+    bounds = np.linspace(0, 64, k + 1).astype(int)
+    return [(int(bounds[i]), int(bounds[i + 1] - bounds[i])) for i in range(k)]
 
+
+def simhash_pairs(sf_dir: str, max_hamming: int = 3):
+    """Near-dup pairs by SimHash: bucket on each of ``max_hamming + 1``
+    bit-chunks (pigeonhole — candidate generation is exact for the given
+    threshold, not just for ≤3), then verify exact hamming distance via two
+    hash-partitioned joins pairs×signatures and a vectorized popcount."""
     sigs = simhash(sf_dir).materialize()
+    chunks = _simhash_chunk_bounds(max_hamming)
 
     def explode_chunks(t: pa.Table) -> pa.Table:
         sim = t["simhash"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
-        doc = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
-        chunks = [(sim >> np.uint64(16 * c)) & np.uint64(0xFFFF) for c in range(4)]
+        doc = t["doc_id"].combine_chunks()
+        parts = []
+        for start, width in chunks:
+            mask = np.uint64((1 << width) - 1) if width < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)
+            parts.append((sim >> np.uint64(start)) & mask)
         return pa.table(
             {
-                "band": pa.array(np.repeat(np.arange(4, dtype=np.int64), len(doc))),
-                "bh": pa.array(np.concatenate(chunks).astype(np.int64)),
-                "doc_id": pa.array(np.tile(doc, 4)),
+                "band": pa.array(np.repeat(np.arange(len(chunks), dtype=np.int64), len(doc))),
+                "bh": pa.array(np.concatenate(parts).astype(np.int64)),
+                "doc_id": pa.array(
+                    np.tile(doc.to_numpy(zero_copy_only=False), len(chunks))
+                ),
             }
         )
 
-    pairs = _bucket_pairs_by_join(sigs.map_batches(explode_chunks, batch_format="pyarrow"))
-    pdf = sigs.to_pandas()
-    sim_map = dict(zip(pdf["doc_id"], pdf["simhash"].astype(np.uint64)))
-    ref = ray.put(sim_map)
+    pairs = _bucket_pairs_by_join(
+        sigs.map_batches(explode_chunks, batch_format="pyarrow")
+    ).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        import ray.data as rd
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(ref)
-        if not len(df):
-            return pd.DataFrame({"a": [], "b": [], "hamming": []})
-        x = np.array([int(m[a]) ^ int(m[b]) for a, b in zip(df["a"], df["b"])], dtype=np.uint64)
-        ham = np.array([bin(v).count("1") for v in x], dtype=np.int64)
-        out = df.assign(hamming=ham)
-        return out[out["hamming"] <= max_hamming]
+        return rd.from_arrow(
+            _empty_pairs(("hamming", pa.int64()), key_type=sigs.schema().types[0])
+        )
 
-    return pairs.map_batches(verify, batch_format="pandas")
+    # transport the signature as an int64 bit-pattern: Ray's hash-shuffle join
+    # pickles uint64 columns ≥ 2^63 into object blocks (measured round 1)
+    sig_i64 = sigs.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks(),
+                "sim": pa.array(
+                    t["simhash"].combine_chunks().to_numpy(zero_copy_only=False)
+                    .astype(np.uint64).view(np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        xa = t["sim_a"].combine_chunks().to_numpy(zero_copy_only=False)
+        xb = t["sim_b"].combine_chunks().to_numpy(zero_copy_only=False)
+        ham = _popcount64(np.bitwise_xor(xa, xb))
+        out = pa.table(
+            {
+                "a": t["a"].combine_chunks(),
+                "b": t["b"].combine_chunks(),
+                "hamming": pa.array(ham),
+            }
+        )
+        return out.filter(pa.array(ham <= max_hamming))
+
+    return _join_pair_sides(pairs, sig_i64, "sim", n_pairs).map_batches(
+        verify, batch_format="pyarrow"
+    )
 
 
 # --------------------------------------------------------------------------- #
@@ -367,34 +512,95 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.95, n_planes: int = 12
 
 
 # --------------------------------------------------------------------------- #
+def _rowwise_ngram_hashes(texts: pd.Series, n: int):
+    """Word-n-gram hash multiset per row → (hashes uint64[], row_idx int64[]
+    nondecreasing). Docs with 0 < tokens < n contribute one whole-token-tuple
+    hash (set semantics {tuple(tokens)}); empty docs contribute nothing.
+    Fully vectorized: explode + shifted-product rolling hash."""
+    texts = texts.reset_index(drop=True)
+    toks = texts.fillna("").str.lower().str.split()
+    counts = toks.str.len().to_numpy(dtype=np.int64)
+    ex = toks.explode()
+    ex = ex[ex.notna()]
+    if len(ex):
+        tok_doc = ex.index.to_numpy(dtype=np.int64)
+        th = stable_hash64(ex.to_numpy(dtype=object))
+    else:
+        tok_doc = np.zeros(0, dtype=np.int64)
+        th = np.zeros(0, dtype=np.uint64)
+    mults = (
+        np.random.default_rng(0x9A3C).integers(1, 1 << 62, size=n, dtype=np.uint64)
+        << np.uint64(1)
+    ) | np.uint64(1)
+    if len(th) >= n:
+        m = len(th) - n + 1
+        sh = np.zeros(m, dtype=np.uint64)
+        for j in range(n):
+            sh ^= th[j : j + m] * mults[j]
+        valid = tok_doc[: len(th) - n + 1] == tok_doc[n - 1 :]
+        sh, sdoc = sh[valid], tok_doc[:m][valid]
+    else:
+        sh = np.zeros(0, dtype=np.uint64)
+        sdoc = np.zeros(0, dtype=np.int64)
+    # short docs (0 < tokens < n): one whole-tuple hash
+    short = np.flatnonzero((counts > 0) & (counts < n))
+    if len(short):
+        whole = stable_hash64(
+            np.array([" ".join(toks.iat[i]) for i in short], dtype=object),
+            key="crawler_ray.whole",
+        )
+        sh = np.concatenate([sh, whole])
+        sdoc = np.concatenate([sdoc, short])
+    order = np.argsort(sdoc, kind="stable")
+    return sh[order], sdoc[order]
+
+
 def ngram_jaccard_pairs(sf_dir: str, candidates=None, n: int = 3, threshold: float = 0.4):
     """Exact word-n-gram Jaccard over candidate pairs (default: MinHash
-    candidates) — the verification-grade near-dup measure."""
-    import ray
-
+    candidates) — the verification-grade near-dup measure. Candidate pairs are
+    re-joined to the documents table on each side (hash-partitioned); shingle
+    sets are 64-bit hashes compared with vectorized unique/bincount — the
+    corpus is never materialized on the driver."""
     cands = candidates if candidates is not None else minhash_pairs(sf_dir, threshold=0.2)
-    docs = _read_docs(sf_dir, ["doc_id", "text"]).to_pandas()
+    cands = cands.select_columns(["a", "b"]).materialize()
+    n_pairs = cands.count()
+    if n_pairs == 0:
+        import ray.data as rd
 
-    def shingles(text: str) -> set:
-        ts = (text or "").lower().split()
-        if len(ts) < n:
-            return {tuple(ts)} if ts else set()
-        return {tuple(ts[i : i + n]) for i in range(len(ts) - n + 1)}
+        docs_schema = _read_docs(sf_dir, ["doc_id"]).schema()
+        return rd.from_arrow(
+            _empty_pairs(("jaccard", pa.float64()), key_type=docs_schema.types[0])
+        )
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
 
-    sets = {d: shingles(t) for d, t in zip(docs["doc_id"], docs["text"])}
-    ref = ray.put(sets)
+    def verify(t: pa.Table) -> pa.Table:
+        m = len(t)
+        ta = t["text_a"].combine_chunks().to_pandas()
+        tb = t["text_b"].combine_chunks().to_pandas()
+        ha, ia = _rowwise_ngram_hashes(ta, n)
+        hb, ib = _rowwise_ngram_hashes(tb, n)
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(ref)
-        rows = {"a": [], "b": [], "jaccard": []}
-        for a, b in zip(df["a"], df["b"]):
-            sa, sb = m.get(a, set()), m.get(b, set())
-            u = len(sa | sb)
-            j = (len(sa & sb) / u) if u else 0.0
-            if j >= threshold:
-                rows["a"].append(a)
-                rows["b"].append(b)
-                rows["jaccard"].append(round(j, 6))
-        return pd.DataFrame(rows)
+        def uniq(rows, hashes):
+            s = np.empty(len(rows), dtype=[("i", "i8"), ("h", "u8")])
+            s["i"], s["h"] = rows, hashes
+            return np.unique(s)
 
-    return cands.select_columns(["a", "b"]).map_batches(verify, batch_format="pandas")
+        ua, ub = uniq(ia, ha), uniq(ib, hb)
+        na = np.bincount(ua["i"], minlength=m)
+        nb = np.bincount(ub["i"], minlength=m)
+        both, cnt = np.unique(np.concatenate([ua, ub]), return_counts=True)
+        inter = np.bincount(both["i"][cnt == 2], minlength=m)
+        union = na + nb - inter
+        j = np.round(np.where(union > 0, inter / np.maximum(union, 1), 0.0), 6)
+        out = pa.table(
+            {
+                "a": t["a"].combine_chunks(),
+                "b": t["b"].combine_chunks(),
+                "jaccard": pa.array(j, pa.float64()),
+            }
+        )
+        return out.filter(pa.array(j >= threshold))
+
+    return _join_pair_sides(cands, docs, "text", n_pairs).map_batches(
+        verify, batch_format="pyarrow"
+    )

@@ -25,11 +25,16 @@ import numpy as np
 import pandas as pd
 
 
-def stable_hash64(values) -> np.ndarray:
+def stable_hash64(values, key: str | None = None) -> np.ndarray:
     """Deterministic 64-bit hash of a string sequence (same across processes,
-    unlike builtin hash()). pandas' siphash — vectorized C, ~10M strings/s."""
+    unlike builtin hash()). pandas' siphash — vectorized C, ~10M strings/s.
+    ``key`` selects an independent hash family (16-byte siphash key derived
+    from the string) — two keyed hashes give an effective 128-bit fingerprint."""
     arr = np.asarray(values, dtype=object)
-    return pd.util.hash_array(arr, categorize=False)
+    if key is None:
+        return pd.util.hash_array(arr, categorize=False)
+    hk = (key.encode() * 16)[:16].decode("latin1")
+    return pd.util.hash_array(arr, hash_key=hk, categorize=False)
 
 
 class CuckooFilter:

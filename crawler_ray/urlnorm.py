@@ -45,6 +45,10 @@ def normalize(urls: pa.Array | pa.ChunkedArray) -> pa.Array:
     ex = pc.extract_regex(trimmed, _URL_RE)
     scheme = pc.utf8_lower(pc.struct_field(ex, "scheme"))
     auth = pc.utf8_lower(pc.struct_field(ex, "auth"))
+    # drop userinfo — matches oracle.norm(), which rebuilds the netloc from
+    # hostname[:port]; without this the engine and ground truth diverge on
+    # user@host URLs
+    auth = pc.replace_substring_regex(auth, r"^[^@]*@", "")
     rest = pc.struct_field(ex, "rest")
     # strip default port for the matching scheme only
     auth = pc.if_else(
@@ -70,6 +74,7 @@ def normalize_and_host(urls: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, pa.A
     ex = pc.extract_regex(trimmed, _URL_RE)
     scheme = pc.utf8_lower(pc.struct_field(ex, "scheme"))
     auth = pc.utf8_lower(pc.struct_field(ex, "auth"))
+    auth = pc.replace_substring_regex(auth, r"^[^@]*@", "")  # userinfo (see normalize)
     rest = pc.struct_field(ex, "rest")
     auth = pc.if_else(
         pc.equal(scheme, "https"),
@@ -82,8 +87,7 @@ def normalize_and_host(urls: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, pa.A
     )
     rest = pc.if_else(pc.equal(rest, ""), pa.scalar("/"), rest)
     normalized = pc.binary_join_element_wise(scheme, pa.scalar("://"), auth, rest, "")
-    host = pc.replace_substring_regex(auth, r"^[^@]*@", "")
-    host = pc.replace_substring_regex(host, r":\d+$", "")
+    host = pc.replace_substring_regex(auth, r":\d+$", "")
     return normalized, host
 
 
