@@ -32,8 +32,10 @@ class CrawlConfig:
     # --- physical knobs ---
     n_seen_shards: int = 8             # T1 shard count (O(cluster cores) at scale)
     n_corpus_shards: int = 4           # fetch lookup service shards (T4)
-    salt_buckets: int = 8              # hot-host top-k salting fan-out (§4 skew)
-    hot_host_threshold: int = 50_000   # rows above which per-host top-k salts
+    salt_buckets: int = 8              # retained knob; selection now bounds
+    # hot hosts structurally (per-block combiner caps any host at q rows per
+    # block — stages/select.py), so no salting shuffle is needed
+    hot_host_threshold: int = 50_000   # (same note as salt_buckets)
     batch_size: int = 8192             # map_batches batch size
     small_round_threshold: int = 20_000  # frontier rows below which the round
     # runs driver-side with the same kernels (coordinator fast path; avoids

@@ -7,12 +7,17 @@ delay d admits ``max(1, round_ms // d)`` fetches; its remaining frontier rows
 defer to the next round with their original depth. Selection within a host is
 deterministic: (depth, url) ascending — the priority ordering O1.
 
-Skew handling (north rule / SURVEY §4): per-host top-q is computed with a
-**salted two-stage top-k** — stage A ranks within ``(host, salt)`` buckets
-(``salt = hash(url) % S``) so one hot host spreads across S groups; stage B
-ranks the ≤ S·q stage-A survivors per host. The union of per-bucket top-q
-always contains the global top-q, so the result is exactly the unsalted
-answer. Quotas are per-host-global and computed BEFORE salting (§7.4.4).
+Distributed shape (skew-safe by construction, no groupby shuffle at all):
+  * **Stage A — per-batch combiner**: every block independently marks its
+    local per-host top-q by (depth, url); non-top rows defer immediately.
+    The union of per-block top-q always contains the global top-q, and a hot
+    host can contribute at most q rows per block — the skew bound the old
+    salted two-stage top-k provided, without any shuffle.
+  * **Stage B — tree reduce**: stage-A survivors (≤ blocks × q per host —
+    tiny next to the frontier, since q is the host's per-round fetch quota)
+    are folded to one block (optionally via an intermediate combiner level
+    when large) where the same vectorized kernel computes the exact global
+    per-host top-q. Result equals the driver-side :func:`select_small`.
 
 Hosts with no effective delay bypass selection entirely (no shuffle) — the
 common path when the job sets ``delay_ms=0`` and robots impose no delay.
@@ -27,7 +32,10 @@ import pyarrow.compute as pc
 
 from ..config import CrawlConfig
 from ..state.robots import RobotsPolicy
-from ..state.seen import stable_hash64
+
+# stage-A survivors above this fold through one intermediate combiner level
+# before the final exact block (keeps the last task's input bounded)
+_TREE_FOLD_THRESHOLD = 2_000_000
 
 
 def limited_hosts(cfg: CrawlConfig, policy: RobotsPolicy) -> set[str] | None:
@@ -47,13 +55,34 @@ def quota_for(host: str, cfg: CrawlConfig, policy: RobotsPolicy) -> int | None:
     return None if d <= 0 else max(1, cfg.round_ms // d)
 
 
-def _mark_top(group: pd.DataFrame, q: int, col: str) -> pd.DataFrame:
-    order = np.lexsort((group["url"].to_numpy(), group["depth"].to_numpy()))
-    sel = np.zeros(len(group), dtype=bool)
-    sel[order[:q]] = True
-    group = group.copy()
-    group[col] = sel
-    return group
+def _rank_keep_mask(
+    url: np.ndarray,
+    host: np.ndarray,
+    depth: np.ndarray,
+    limited_mask: np.ndarray,
+    cfg: CrawlConfig,
+    policy: RobotsPolicy,
+) -> np.ndarray:
+    """keep[i] = True iff row i is unlimited OR within its host's per-round
+    quota ranked by (depth, url). Vectorized over all hosts at once
+    (lexsort + grouped cumcount) — the shared kernel of the driver-side and
+    distributed selection paths."""
+    n = len(url)
+    keep = np.ones(n, dtype=bool)
+    idx = np.flatnonzero(limited_mask)
+    if not len(idx):
+        return keep
+    order = idx[np.lexsort((url[idx], depth[idx]))]
+    s = pd.Series(host[order])
+    ranks = s.groupby(s, sort=False).cumcount().to_numpy()
+    big = np.iinfo(np.int64).max
+    qmap = {
+        h: (q if (q := quota_for(h, cfg, policy)) is not None else big)
+        for h in pd.unique(s)
+    }
+    q = s.map(qmap).to_numpy(dtype=np.int64)
+    keep[order] = ranks < q
+    return keep
 
 
 def select_small(tab: pa.Table, cfg: CrawlConfig, policy: RobotsPolicy):
@@ -61,7 +90,6 @@ def select_small(tab: pa.Table, cfg: CrawlConfig, policy: RobotsPolicy):
     ordering rule as :func:`select_frontier`; used by the engine's
     small-round coordinator path and as the test oracle for the distributed
     selection."""
-    n = tab.num_rows
     lim = limited_hosts(cfg, policy)
     if lim is not None and not lim:
         return tab, None
@@ -69,26 +97,15 @@ def select_small(tab: pa.Table, cfg: CrawlConfig, policy: RobotsPolicy):
     host = tab.column("host").to_numpy(zero_copy_only=False)
     depth = tab.column("depth").to_numpy(zero_copy_only=False)
     if lim is None:
-        limited_mask = np.ones(n, dtype=bool)
+        limited_mask = np.ones(tab.num_rows, dtype=bool)
     else:
         limited_mask = np.isin(host, np.array(sorted(lim), dtype=object))
-    lim_idx = np.flatnonzero(limited_mask)
-    if len(lim_idx) == 0:
+    keep = _rank_keep_mask(url, host, depth, limited_mask, cfg, policy)
+    if keep.all():
         return tab, None
-    order = lim_idx[np.lexsort((url[lim_idx], depth[lim_idx]))]
-    s = pd.Series(host[order])
-    ranks = s.groupby(s, sort=False).cumcount().to_numpy()
-    qmap = {h: quota_for(h, cfg, policy) for h in pd.unique(s)}
-    big = np.iinfo(np.int64).max
-    q = s.map({h: (v if v is not None else big) for h, v in qmap.items()}).to_numpy(
-        dtype=np.int64
-    )
-    selm = ranks < q
-    sel_idx = np.concatenate([np.flatnonzero(~limited_mask), order[selm]])
-    def_idx = order[~selm]
-    sel = tab.take(pa.array(np.sort(sel_idx)))
-    deferred = tab.take(pa.array(np.sort(def_idx))) if len(def_idx) else None
-    return sel, deferred
+    sel = tab.filter(pa.array(keep))
+    deferred = tab.filter(pa.array(~keep))
+    return sel, (deferred if deferred.num_rows else None)
 
 
 def select_frontier(frontier, cfg: CrawlConfig, policy: RobotsPolicy):
@@ -98,63 +115,60 @@ def select_frontier(frontier, cfg: CrawlConfig, policy: RobotsPolicy):
     lim = limited_hosts(cfg, policy)
     if lim is not None and not lim:
         return frontier, None
+    lim_np = None if lim is None else np.array(sorted(lim), dtype=object)
 
-    if lim is None:
-        unlimited, limited = None, frontier
-    else:
-        lim_list = sorted(lim)
-        unlimited = frontier.map_batches(
-            lambda t: t.filter(pc.invert(pc.is_in(t["host"], pa.array(lim_list)))),
+    def mark(t: pa.Table) -> pa.Table:
+        """Append sel (kept by local ranking) and fin (unlimited — final,
+        bypasses stage B) marker columns."""
+        url = t.column("url").to_numpy(zero_copy_only=False)
+        host = t.column("host").to_numpy(zero_copy_only=False)
+        depth = t.column("depth").to_numpy(zero_copy_only=False)
+        if lim_np is None:
+            limited_mask = np.ones(t.num_rows, dtype=bool)
+        else:
+            limited_mask = np.isin(host, lim_np)
+        keep = _rank_keep_mask(url, host, depth, limited_mask, cfg, policy)
+        t = t.append_column("sel", pa.array(keep))
+        return t.append_column("fin", pa.array(~limited_mask))
+
+    def split(ds, expr):
+        return ds.map_batches(
+            lambda t: t.filter(expr(t)).drop_columns(["sel", "fin"]),
             batch_format="pyarrow",
         )
-        limited = frontier.map_batches(
-            lambda t: t.filter(pc.is_in(t["host"], pa.array(lim_list))),
-            batch_format="pyarrow",
-        ).materialize()
-        if limited.count() == 0:
-            return frontier, None
 
-    S = max(1, cfg.salt_buckets)
+    # stage A: shuffle-free per-block combiner
+    marked = frontier.map_batches(mark, batch_format="pyarrow").materialize()
+    unlimited = split(marked, lambda t: t["fin"])
+    cand = split(marked, lambda t: pc.and_(t["sel"], pc.invert(t["fin"]))).materialize()
+    deferred_parts = [split(marked, lambda t: pc.invert(t["sel"]))]
 
-    def add_salt(t: pa.Table) -> pa.Table:
-        urls = t.column("url").combine_chunks().to_numpy(zero_copy_only=False)
-        return t.append_column(
-            "salt", pa.array((stable_hash64(urls) % S).astype(np.int64))
+    # stage B: tree-reduce stage-A survivors to the exact global top-q
+    n_cand = cand.count()
+    if n_cand == 0:
+        selected = unlimited.materialize()
+        deferred = deferred_parts[0].materialize()
+        return selected, (deferred if deferred.count() else None)
+    if n_cand > _TREE_FOLD_THRESHOLD:
+        import ray
+
+        fold = max(2, int(ray.cluster_resources().get("CPU", 4)))
+        folded = (
+            cand.repartition(fold).map_batches(mark, batch_format="pyarrow").materialize()
         )
-
-    def mark_a(g: pd.DataFrame) -> pd.DataFrame:
-        q = quota_for(g["host"].iat[0], cfg, policy)
-        return _mark_top(g, q, "cand")
-
-    def mark_b(g: pd.DataFrame) -> pd.DataFrame:
-        q = quota_for(g["host"].iat[0], cfg, policy)
-        return _mark_top(g, q, "sel")
-
-    stage_a = (
-        limited.map_batches(add_salt, batch_format="pyarrow")
-        .groupby(["host", "salt"])
-        .map_groups(mark_a, batch_format="pandas")
+        deferred_parts.append(split(folded, lambda t: pc.invert(t["sel"])))
+        cand = split(folded, lambda t: t["sel"]).materialize()
+    exact = (
+        cand.repartition(1)
+        .map_batches(mark, batch_format="pyarrow", batch_size=None)
         .materialize()
     )
-    cand = stage_a.map_batches(
-        lambda t: t.filter(t["cand"]).drop_columns(["salt", "cand"]),
-        batch_format="pyarrow",
-    )
-    defer1 = stage_a.map_batches(
-        lambda t: t.filter(pc.invert(t["cand"])).drop_columns(["salt", "cand"]),
-        batch_format="pyarrow",
-    )
-    stage_b = (
-        cand.groupby("host").map_groups(mark_b, batch_format="pandas").materialize()
-    )
-    sel_lim = stage_b.map_batches(
-        lambda t: t.filter(t["sel"]).drop_columns(["sel"]),
-        batch_format="pyarrow",
-    )
-    defer2 = stage_b.map_batches(
-        lambda t: t.filter(pc.invert(t["sel"])).drop_columns(["sel"]),
-        batch_format="pyarrow",
-    )
-    deferred = defer1.union(defer2).materialize()
-    selected = sel_lim if unlimited is None else unlimited.union(sel_lim)
-    return selected.materialize(), (deferred if deferred.count() else None)
+    sel_lim = split(exact, lambda t: t["sel"])
+    deferred_parts.append(split(exact, lambda t: pc.invert(t["sel"])))
+
+    deferred = deferred_parts[0]
+    for p in deferred_parts[1:]:
+        deferred = deferred.union(p)
+    deferred = deferred.materialize()
+    selected = (unlimited.union(sel_lim) if lim is not None else sel_lim).materialize()
+    return selected, (deferred if deferred.count() else None)

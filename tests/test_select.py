@@ -1,5 +1,5 @@
-"""Distributed (salted two-stage top-k) vs driver-side selection equivalence,
-incl. a hot-host skew case (SURVEY.md §4 skew row, T3/O1)."""
+"""Distributed (combiner + tree-reduce top-k) vs driver-side selection
+equivalence, incl. a hot-host skew case (SURVEY.md §4 skew row, T3/O1)."""
 
 import numpy as np
 import pyarrow as pa
