@@ -104,7 +104,7 @@ def main(argv=None) -> int:
                     "crawl_id": res.crawl_id,
                     "mode": args.mode,
                     "pages_fetched": res.pages_fetched,
-                    "visited": len(res.visited),
+                    "visited": res.n_visited,
                     "rounds": res.rounds,
                     "stopped": res.stopped,
                     "out_dir": res.out_dir,

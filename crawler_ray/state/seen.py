@@ -264,3 +264,44 @@ class SeenShard:
         self.filter = CuckooFilter.from_state(snap["filter"])
         if self.exact is not None:
             self.exact = set(snap["urls"])
+
+    # -- actor-side persistence (the 10^10 path: the driver never holds the
+    # seen set — shards write/read their own partitions, the driver moves
+    # only file paths and object refs) ------------------------------------
+    def visited_table(self):
+        """This shard's visited URLs (sorted) as one Arrow table. Returned by
+        ref from the actor — callers compose shards with
+        ``ray.data.from_arrow_refs`` instead of concatenating on the driver."""
+        import pyarrow as pa
+
+        from .. import schemas
+
+        urls = sorted(self.exact) if self.exact is not None else []
+        return pa.Table.from_arrays(
+            [
+                pa.array([self.shard_id] * len(urls), pa.int32()),
+                pa.array(urls, pa.string()),
+            ],
+            schema=schemas.SEEN,
+        )
+
+    def write_snapshot(self, dir_path: str) -> str:
+        """Checkpoint this shard as its own parquet partition (actor-side
+        write; the driver collects only the returned path)."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        path = os.path.join(dir_path, f"shard={self.shard_id}.parquet")
+        pq.write_table(self.visited_table(), path)
+        return path
+
+    def restore_from_parquet(self, path: str) -> int:
+        """Rebuild this shard (exact set + cuckoo filter) from its checkpoint
+        partition — actor-side read, no driver routing."""
+        import pyarrow.parquet as pq
+
+        urls = pq.read_table(path, columns=["url"]).column("url").to_pylist()
+        if urls:
+            self.check_and_add(urls)
+        return len(urls)
