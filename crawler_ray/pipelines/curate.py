@@ -5,16 +5,19 @@ composition a 100 TB pipeline actually runs:
               → near-dup clustering (MinHash pairs → connected components)
               → keep one representative per cluster → kept corpus
 
-Connected components run as driver-side union-find over the verified pair
-list — pairs are the OUTPUT of LSH verification and are orders of magnitude
-smaller than the corpus (at 10^10 docs you'd iterate distributed min-label
-propagation over the pair edges instead; same contract, documented here).
+Scale shape: the corpus-sized stages stay Datasets end to end — the exact-
+dedup survivor gate is a hash-partitioned semi-join (inner join on doc_id),
+and the near-dup drop list is a broadcast filter (it is bounded by the
+verified pair list, orders of magnitude smaller than the corpus). Connected
+components stream the pair edges through a driver union-find whose state is
+O(docs that appear in a verified pair) — NOT O(corpus); at 10^10 docs with a
+pathological dup rate you'd swap in distributed min-label propagation over
+the same edge list (same contract).
 """
 
 from __future__ import annotations
 
-import os
-
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -25,8 +28,9 @@ from .text import QualityScore
 def dup_clusters(sf_dir: str, threshold: float = 0.5):
     """Near-dup clusters: (doc_id, cluster_id) for every doc that appears in
     at least one verified MinHash pair; cluster_id = min doc_id in the
-    component (deterministic)."""
-    pairs = minhash_pairs(sf_dir, threshold=threshold).to_pandas()
+    component (deterministic). Edges stream from the pairs Dataset in batches
+    — union-find state is bounded by 2×|verified pairs|, never the corpus."""
+    pairs = minhash_pairs(sf_dir, threshold=threshold)
     parent: dict = {}
 
     def find(x):
@@ -42,10 +46,13 @@ def dup_clusters(sf_dir: str, threshold: float = 0.5):
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
 
-    for a, b in zip(pairs["a"], pairs["b"]):
-        parent.setdefault(a, a)
-        parent.setdefault(b, b)
-        union(a, b)
+    for batch in pairs.select_columns(["a", "b"]).iter_batches(
+        batch_size=65536, batch_format="pandas"
+    ):
+        for a, b in zip(batch["a"], batch["b"]):
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            union(a, b)
     rows = sorted((d, find(d)) for d in parent)
     return pa.table(
         {
@@ -56,13 +63,13 @@ def dup_clusters(sf_dir: str, threshold: float = 0.5):
 
 
 def curate(sf_dir: str, min_tokens: int = 5, min_quality: float = 0.3, near_dup_threshold: float = 0.5):
-    """The kept-document list after the full gate chain. Returns
+    """The kept-document list after the full gate chain. Returns a Dataset of
     (doc_id, n_tokens, quality) for every kept doc, sorted by doc_id."""
     import ray.data as rd
 
-    # 1. quality gate (actor-pool scoring stage)
+    # 1. quality gate (actor-pool scoring stage) — stays a Dataset
     docs = rd.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     scored = docs.map_batches(QualityScore, batch_format="pandas", batch_size=4096, concurrency=2)
 
@@ -70,16 +77,32 @@ def curate(sf_dir: str, min_tokens: int = 5, min_quality: float = 0.3, near_dup_
         keep = (df["n_tokens"] >= min_tokens) & (df["quality"] > min_quality)
         return df.loc[keep, ["doc_id", "n_tokens", "quality"]]
 
-    kept_q = scored.map_batches(gate, batch_format="pandas").to_pandas()
+    kept_q = scored.map_batches(gate, batch_format="pandas")
 
-    # 2. exact dedup survivors (min doc_id per identical text)
-    exact_keep = set(exact_dedup(sf_dir).to_pandas()["doc_id"])
+    # 2. exact-dedup survivors: hash-partitioned SEMI-join (inner join against
+    # the unique survivor doc_ids) — both sides are corpus-sized, so this must
+    # shuffle, not broadcast. Partition count scales with the corpus so small
+    # inputs keep one dense partition (Ray's hash join drops empty-partition
+    # schemas, measured round 1)
+    import pyarrow.parquet as pq
 
-    # 3. near-dup clusters: keep only the representative (== cluster_id)
-    clusters = dup_clusters(sf_dir, threshold=near_dup_threshold).to_pandas()
-    drop_near = set(clusters.loc[clusters["doc_id"] != clusters["cluster_id"], "doc_id"])
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    n_parts = int(np.clip(n_docs // 4096, 1, 16))
+    survivors = exact_dedup(sf_dir)
+    kept = kept_q.join(
+        survivors, join_type="inner", on=("doc_id",), num_partitions=n_parts
+    )
 
-    keep = kept_q[
-        kept_q["doc_id"].isin(exact_keep) & ~kept_q["doc_id"].isin(drop_near)
-    ].sort_values("doc_id")
-    return pa.Table.from_pandas(keep.reset_index(drop=True), preserve_index=False).replace_schema_metadata(None)
+    # 3. near-dup representatives: drop docs that sit in a cluster under a
+    # non-self representative. The drop list is bounded by the verified pair
+    # list → broadcast anti-filter (the documented small-side pattern)
+    clusters = dup_clusters(sf_dir, threshold=near_dup_threshold)
+    mask = np.asarray(clusters["doc_id"]) != np.asarray(clusters["cluster_id"])
+    drop_near = np.asarray(clusters["doc_id"])[mask]
+
+    def drop(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(~np.isin(ids, drop_near)))
+
+    out = kept.map_batches(drop, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "n_tokens", "quality"]).sort("doc_id")
