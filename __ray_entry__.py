@@ -109,14 +109,15 @@ def oracle_sql() -> dict[str, str]:
         "sample_docs": R.sample_docs_sql(),
         "corpus_links": C.corpus_links_sql(_SF_ORACLE),
         "span_profile": C.span_profile_sql(_SF_ORACLE),
+        "crawl_bfs": C.crawl_bfs_sql(_SF_ORACLE),
         "token_stats": T.token_stats_sql(),
         "fingerprints": T.fingerprints_sql(),
         "exact_dedup": D.exact_dedup_sql(),
         "ann_bruteforce": S.ann_bruteforce_sql(),
         # media_manifest is SQL-expressible over the same corpus parquet
         "media_manifest": _media_manifest_sql(),
-        # crawl_bfs, lang_id, quality, minhash/simhash/embedding/ngram pairs,
-        # ann_lsh, media_features: iterative or heuristic — rows-only checks.
+        # lang_id, quality, minhash/simhash/embedding/ngram pairs, ann_lsh,
+        # media_features: sketch-based or heuristic — rows-only checks.
     }
 
 

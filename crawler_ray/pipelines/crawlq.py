@@ -95,8 +95,9 @@ def span_profile_sql(sf_dir: str) -> str:
 
 def crawl_bfs(sf_dir: str):
     """Full crawl of host 0 on the sf-tier corpus: returns the visited set
-    with BFS depth per URL (waves). Iterative — no SQL oracle (the driver
-    records a rows-only check); pytest pins it to the plain-Python oracle."""
+    with BFS depth per URL (waves). Oracle: :func:`crawl_bfs_sql` (recursive
+    CTE over the UNNEST'd link spans); pytest additionally pins it to the
+    plain-Python oracle crawler."""
     import pyarrow.parquet as pq
 
     from ..engine import CrawlEngine
@@ -112,17 +113,44 @@ def crawl_bfs(sf_dir: str):
         eng.run(mode="crawl", out_dir=out)
         import glob
 
-        rows = {"url": [], "depth": []}
-        for f in glob.glob(out + "/fetched/**/*.parquet", recursive=True):
-            t = pq.read_table(f, columns=["url", "depth"])
-            rows["url"].extend(t["url"].to_pylist())
-            rows["depth"].extend(t["depth"].to_pylist())
-        order = sorted(range(len(rows["url"])), key=lambda i: rows["url"][i])
-        return pa.table(
-            {
-                "url": pa.array([rows["url"][i] for i in order], pa.string()),
-                "depth": pa.array([rows["depth"][i] for i in order], pa.int32()),
-            }
-        )
+        files = glob.glob(out + "/fetched/**/*.parquet", recursive=True)
+        tab = pa.concat_tables(
+            [pq.read_table(f, columns=["url", "depth"]) for f in files]
+        ).combine_chunks()
+        return tab.sort_by("url")
     finally:
         eng.close()
+
+
+def crawl_bfs_sql(sf_dir: str) -> str:
+    """DuckDB oracle for :func:`crawl_bfs` — BFS over the corpus link graph
+    as a recursive CTE. Valid because the synthetic corpus stores links as
+    already-normalized absolute URLs, the seed host's robots are permissive
+    and carry no crawl delay (synth._robots_rules host 0), and with no
+    politeness deferral the engine's per-URL depth equals the shortest-path
+    depth. Fetched rows include admissible dangling URLs (status 404 — the
+    engine fetches them once, oracle.py:156-158), which the CTE reaches as
+    link targets with no outgoing edges. UNION dedups (url, depth) states and
+    the depth bound caps cycle expansion, so the recursion terminates."""
+    spec = spec_for_sf(sf_dir)
+    path = corpus_path(spec)
+    host = spec.host(0)
+    return f"""
+    WITH RECURSIVE links AS (
+        SELECT t.doc_id AS src, u.s['text'] AS dst
+        FROM read_parquet('{path}') t, UNNEST(t.spans) AS u(s)
+        WHERE u.s['kind'] = 'link'
+          AND u.s['text'] LIKE 'https://{host}/%'
+    ),
+    bfs(url, depth) AS (
+        SELECT url, 0 AS depth
+        FROM (VALUES ('https://{host}/'), ('https://{host}/sitemap.xml')) AS seeds(url)
+        UNION
+        SELECT l.dst, b.depth + 1
+        FROM bfs b JOIN links l ON l.src = b.url
+        WHERE b.depth < 100
+    )
+    SELECT url, CAST(MIN(depth) AS INTEGER) AS depth
+    FROM bfs
+    GROUP BY url
+    """

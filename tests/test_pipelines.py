@@ -40,7 +40,9 @@ def test_query_matches_duckdb(name, ray_session):
     assert_equivalent(q(SF), _sql_for(name), SF)
 
 
-@pytest.mark.parametrize("name", ["corpus_links", "span_profile", "media_manifest"])
+@pytest.mark.parametrize(
+    "name", ["corpus_links", "span_profile", "media_manifest", "crawl_bfs"]
+)
 def test_corpus_query_matches_duckdb(name, ray_session):
     """Corpus-backed queries: oracle SQL embeds the sf0.01 corpus path, so
     compare at sf0.01 (generation is cached)."""
