@@ -55,6 +55,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_revenue": R.segment_revenue,
         "nation_revenue": R.nation_revenue,
         "top_orders": R.top_orders,
+        "q5_region_revenue": R.q5_region_revenue,
+        "brand_volume": R.brand_volume,
         "distinct_nation_keys": R.distinct_nation_keys,
         "events_hourly": R.events_hourly,
         "events_lag": R.events_lag,
@@ -102,6 +104,8 @@ def oracle_sql() -> dict[str, str]:
         "segment_revenue": R.segment_revenue_sql(),
         "nation_revenue": R.nation_revenue_sql(),
         "top_orders": R.top_orders_sql(),
+        "q5_region_revenue": R.q5_region_revenue_sql(),
+        "brand_volume": R.brand_volume_sql(),
         "distinct_nation_keys": R.distinct_nation_keys_sql(),
         "events_hourly": R.events_hourly_sql(),
         "events_lag": R.events_lag_sql(),

@@ -439,3 +439,136 @@ def events_running_sum_sql() -> str:
            ) / 100.0 AS running_value
     FROM events
     """
+
+
+# --------------------------------------------------------------------------- #
+def q5_region_revenue(sf_dir: str):
+    """TPC-H-Q5-style multi-join: TWO hash-partitioned large joins
+    (lineitem ⋈ orders on the order key, then ⋈ customer on the customer key)
+    followed by broadcast dimension lookups (supplier → nation → region are
+    O(suppliers) ≪ O(lineitem)), with the same-nation condition
+    c_nationkey = s_nationkey and the region filter applied at the broadcast
+    stage. Revenue in integer 1e-4 units for bit-exact oracle parity."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    lo = pa.scalar(pd.Timestamp("1996-01-01"), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1997-01-01"), pa.timestamp("us"))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater_equal(t["o_orderdate"], lo), pc.less(t["o_orderdate"], hi))
+        ).drop_columns(["o_orderdate"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        u = round_np(r.to_numpy(zero_copy_only=False) * 10000.0, 0).astype("int64")
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"].combine_chunks(),
+                "l_suppkey": t["l_suppkey"].combine_chunks(),
+                "rev_u": pa.array(u),
+            }
+        )
+
+    li = li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
+    j1 = li.join(
+        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j2 = j1.join(
+        cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+    )
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    s2n = supp.set_index("s_suppkey")["s_nationkey"]
+    n2name = nation.set_index("n_nationkey")["n_name"]
+    n2r = nation.set_index("n_nationkey")["n_regionkey"]
+    r2name = region.set_index("r_regionkey")["r_name"]
+    ref = ray.put((s2n, n2name, n2r, r2name))
+
+    def attach(t: pa.Table) -> pa.Table:
+        s2n_, n2name_, n2r_, r2name_ = ray.get(ref)
+        df = t.to_pandas()
+        s_nat = df["l_suppkey"].map(s2n_)
+        keep = (s_nat == df["c_nationkey"]) & (s_nat.map(n2r_).map(r2name_) == "ASIA")
+        df = df.loc[keep]
+        df = df.assign(n_name=df["c_nationkey"].map(n2name_))
+        g = df.groupby("n_name", sort=False).agg(rev_u=("rev_u", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    partials = j2.map_batches(attach, batch_format="pyarrow", batch_size=65536)
+    out = partials.repartition(4).groupby("n_name").aggregate(Sum("rev_u", alias_name="rev_u"))
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "n_name": t["n_name"].combine_chunks(),
+                "revenue": pc.divide(t["rev_u"].cast(pa.float64()), pa.scalar(10000.0)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q5_region_revenue_sql() -> str:
+    return """
+    SELECT n_name,
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND c_nationkey = s_nationkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """
+
+
+# --------------------------------------------------------------------------- #
+def brand_volume(sf_dir: str):
+    """Broadcast dimension join lineitem ⋈ part (part is O(10^3) rows — a
+    shuffle join would be waste) + combiner-then-global grouped sum."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    p2b = part.set_index("p_partkey")["p_brand"]
+    ref = ray.put(p2b)
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        p2b_ = ray.get(ref)
+        df = t.to_pandas()
+        df = df.assign(
+            p_brand=df["l_partkey"].map(p2b_),
+            qty=df["l_quantity"].to_numpy().astype("int64"),
+        )
+        g = df.groupby("p_brand", sort=False).agg(total_qty=("qty", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    out = (
+        li.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .repartition(4)
+        .groupby("p_brand")
+        .aggregate(Sum("total_qty", alias_name="total_qty"))
+    )
+    return out.select_columns(["p_brand", "total_qty"])
+
+
+def brand_volume_sql() -> str:
+    return """
+    SELECT p_brand, SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """

@@ -22,6 +22,8 @@ SQL_CHECKED = [
     "segment_revenue",
     "nation_revenue",
     "top_orders",
+    "q5_region_revenue",
+    "brand_volume",
     "distinct_nation_keys",
     "events_hourly",
     "token_stats",
