@@ -460,54 +460,98 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
 
 
 # --------------------------------------------------------------------------- #
-def embedding_dup_pairs(sf_dir: str, threshold: float = 0.95, n_planes: int = 12):
-    """Embedding-cosine near-dup: seeded random-hyperplane LSH buckets, then
-    exact cosine verification inside each bucket (numpy matmul per group)."""
+def embedding_dup_pairs(
+    sf_dir: str,
+    threshold: float = 0.4,
+    n_planes: int = 6,
+    n_tables: int = 32,
+):
+    """Embedding-cosine near-dup: multi-table random-hyperplane LSH (standard
+    OR-construction — a pair at cosine c lands in a shared bucket of at least
+    one table with probability 1-(1-(1-θ(c)/π)^k)^L ≈ 0.88 at c=0.4 with
+    k=6, L=32; exact duplicates share every table deterministically), then
+    exact cosine verification via the same hash-partitioned pairs×vectors
+    joins as the text near-dup family.
+
+    Default threshold 0.4: the driver's synthetic embeddings are near-random
+    (max pairwise cosine ≈ 0.51), so the classic 0.95 near-dup band is empty
+    by construction — 0.4 selects the top-similarity band. At 10^10 vectors
+    raise k with log(n) and lower L to bound candidate volume."""
     import ray.data as rd
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
-    planes = np.random.default_rng(42).standard_normal((64, n_planes))
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).materialize()
+    dim = len(ds.take(1)[0]["embedding"])
+    planes = np.random.default_rng(42).standard_normal((n_tables, dim, n_planes))
 
     def bucketize(t: pa.Table) -> pa.Table:
         emb = np.asarray(t["embedding"].combine_chunks().values, dtype=np.float64).reshape(
             len(t), -1
         )
-        norm = np.linalg.norm(emb, axis=1, keepdims=True)
-        emb = emb / np.clip(norm, 1e-12, None)
-        bits = (emb @ planes) > 0
-        bucket = np.zeros(len(t), dtype=np.int64)
-        for k in range(n_planes):
-            bucket |= bits[:, k].astype(np.int64) << k
+        emb = emb / np.clip(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12, None)
+        vec = t["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        bhs = []
+        for l in range(n_tables):
+            bits = (emb @ planes[l]) > 0
+            b = np.zeros(len(t), dtype=np.int64)
+            for k in range(n_planes):
+                b |= bits[:, k].astype(np.int64) << k
+            bhs.append(b)
         return pa.table(
             {
-                "bucket": pa.array(bucket),
-                "vec_id": t["vec_id"].combine_chunks(),
-                "embedding": t["embedding"].combine_chunks(),
+                "band": pa.array(np.repeat(np.arange(n_tables, dtype=np.int64), len(t))),
+                "bh": pa.array(np.concatenate(bhs)),
+                "doc_id": pa.array(np.tile(vec, n_tables)),
             }
         )
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "cosine": []})
-        g = g.sort_values("vec_id").head(_BUCKET_CAP)
-        emb = np.stack(g["embedding"].to_numpy()).astype(np.float64)
-        emb = emb / np.clip(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12, None)
-        cos = emb @ emb.T
-        ia, ib = np.triu_indices(len(g), k=1)
-        keep = cos[ia, ib] >= threshold
-        ids = g["vec_id"].to_numpy()
-        return pd.DataFrame(
-            {
-                "a": ids[ia[keep]],
-                "b": ids[ib[keep]],
-                "cosine": np.round(cos[ia, ib][keep], 6),
-            }
-        )
-
-    return (
+    pairs = _bucket_pairs_by_join(
         ds.map_batches(bucketize, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(pairs_in_bucket, batch_format="pandas")
+    ).materialize()
+    if pairs.count() == 0:
+        return rd.from_arrow(
+            _empty_pairs(("cosine", pa.float64()), key_type=ds.schema().types[0])
+        )
+    n_pairs = pairs.count()
+
+    # normalized vectors as packed binary payload (f64 bit patterns) for the
+    # verification joins
+    emb_bin = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["vec_id"].combine_chunks(),
+                "emb": _pack_u64_rows(
+                    (
+                        lambda e: (
+                            e / np.clip(np.linalg.norm(e, axis=1, keepdims=True), 1e-12, None)
+                        ).view(np.uint64)
+                    )(
+                        np.asarray(
+                            t["embedding"].combine_chunks().values, dtype=np.float64
+                        ).reshape(len(t), -1)
+                    )
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        ea = _unpack_u64_rows(t["emb_a"], dim).view(np.float64)
+        eb = _unpack_u64_rows(t["emb_b"], dim).view(np.float64)
+        cos = np.round((ea * eb).sum(axis=1), 6)
+        out = pa.table(
+            {
+                "a": t["a"].combine_chunks(),
+                "b": t["b"].combine_chunks(),
+                "cosine": pa.array(cos, pa.float64()),
+            }
+        )
+        return out.filter(pa.array(cos >= threshold))
+
+    return _join_pair_sides(pairs, emb_bin, "emb", n_pairs).map_batches(
+        verify, batch_format="pyarrow"
     )
 
 

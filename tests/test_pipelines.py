@@ -136,6 +136,38 @@ def test_simhash_finds_planted_dups(ray_session, tmp_path):
     assert (0, 1) in found or (0, 2) in found
 
 
+def test_embedding_dup_pairs_finds_planted(ray_session, tmp_path):
+    """Exact-duplicate embeddings share every LSH table's bucket, so they are
+    found deterministically; near-random vectors above threshold are found
+    with high probability (multi-table OR-construction)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.dedup import embedding_dup_pairs
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((40, 64)).astype(np.float32)
+    vecs[1] = vecs[0]                      # exact dup
+    vecs[3] = vecs[2] + 0.05 * rng.standard_normal(64).astype(np.float32)  # near dup
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": list(range(40)),
+                "embedding": [list(map(float, v)) for v in vecs],
+                "label": [0] * 40,
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    pairs = to_df(embedding_dup_pairs(str(d), threshold=0.9))
+    found = {tuple(sorted(p)) for p in zip(pairs["a"], pairs["b"])}
+    assert (0, 1) in found
+    assert (2, 3) in found
+    assert pairs.loc[(pairs["a"] == 0) & (pairs["b"] == 1), "cosine"].iloc[0] == 1.0
+
+
 def test_ann_lsh_recall(ray_session):
     from crawler_ray.pipelines.similarity import ann_bruteforce, ann_lsh
 
