@@ -46,3 +46,23 @@ class CrawlConfig:
 
     def with_(self, **kw) -> "CrawlConfig":
         return replace(self, **kw)
+
+
+# M6 — the reference's optional random-UA spoof (ua_generator feature,
+# /root/reference/src/lib.rs:4-5, Cargo.lock:2674): agent "random" resolves to
+# a deterministic pick seeded by crawl_id; any other value passes through
+# (caller-supplied agent override, scan.rs:34-36).
+_AGENT_POOL = (
+    "Mozilla/5.0 (X11; Linux x86_64) crawler_ray/0.1",
+    "Mozilla/5.0 (Macintosh) crawler_ray/0.1",
+    "Mozilla/5.0 (Windows NT 10.0) crawler_ray/0.1",
+    "crawler_ray/0.1 (+https://example.invalid/bot)",
+)
+
+
+def resolve_agent(cfg: CrawlConfig) -> str:
+    if cfg.agent != "random":
+        return cfg.agent
+    import zlib
+
+    return _AGENT_POOL[zlib.crc32(cfg.crawl_id.encode()) % len(_AGENT_POOL)]

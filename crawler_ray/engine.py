@@ -56,7 +56,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from . import schemas
-from .config import CrawlConfig
+from .config import CrawlConfig, resolve_agent
 from .functions.extract import extract_links
 from .oracle import host_of as _host_of_one  # plain-python for single seeds
 from .oracle import norm as _norm_one
@@ -126,6 +126,7 @@ class CrawlEngine:
             RCorpus.remote(corpus_parquet, i, cfg.n_corpus_shards)
             for i in range(cfg.n_corpus_shards)
         ]
+        self.agent = resolve_agent(cfg)
         self.lineage_rows: list[dict] = []
         self.pages_fetched = 0
         self.round = 0
@@ -175,7 +176,9 @@ class CrawlEngine:
             ],
             schema=schemas.FRONTIER,
         )
-        fetched = make_fetch_fn(self.corpus, self.cfg.n_corpus_shards, self.cfg.crawl_id, -1)(tab)
+        fetched = make_fetch_fn(
+            self.corpus, self.cfg.n_corpus_shards, self.cfg.crawl_id, -1, self.agent
+        )(tab)
         for row in fetched.to_pylist():
             if row["status"] != 200:
                 continue  # no robots.txt in corpus → permissive
@@ -211,10 +214,9 @@ class CrawlEngine:
         if not ok and self.cfg.subdomains:
             ok = h.endswith("." + seed_host)
         if not ok and self.cfg.tld:
-            def s(x):
-                parts = x.split(".")
-                return parts[-2] if len(parts) >= 2 else x
-            ok = s(h) == s(seed_host)
+            from .oracle import stem as _stem  # PSL-aware shared stem
+
+            ok = _stem(h) == _stem(seed_host)
         if not ok:
             return False
         if any(re.search(p, url) for p in self.cfg.blacklist):
@@ -316,7 +318,7 @@ class CrawlEngine:
         self._lineage("select", tab.num_rows, sel.num_rows, (time.time() - t0) * 1000)
 
         t0 = time.time()
-        fetch_fn = make_fetch_fn(self.corpus, cfg.n_corpus_shards, cfg.crawl_id, r)
+        fetch_fn = make_fetch_fn(self.corpus, cfg.n_corpus_shards, cfg.crawl_id, r, self.agent)
         fetched = fetch_fn(sel)
         self.pages_fetched += fetched.num_rows
         self._lineage("fetch", sel.num_rows, fetched.num_rows, (time.time() - t0) * 1000)
@@ -385,7 +387,7 @@ class CrawlEngine:
         fetched = (
             selected.repartition(self._nblocks(n_sel))
             .map_batches(
-                make_fetch_fn(self.corpus, cfg.n_corpus_shards, cfg.crawl_id, r),
+                make_fetch_fn(self.corpus, cfg.n_corpus_shards, cfg.crawl_id, r, self.agent),
                 batch_format="pyarrow",
                 batch_size=None,  # one call per block; shard routing inside
                 zero_copy_batch=True,

@@ -59,6 +59,7 @@ FETCHED = pa.schema(
         ("spans", SPANS),
         ("fetch_round", pa.int32()),
         ("crawl_id", pa.string()),
+        ("agent", pa.string()),       # UA the fetch was issued under (M6)
     ]
 )
 

@@ -79,11 +79,14 @@ class CorpusShard:
         return pc.unique(urlnorm.host_of(arr)).to_pylist()
 
 
-def make_fetch_fn(handles: list, n_shards: int, crawl_id: str, fetch_round: int):
+def make_fetch_fn(
+    handles: list, n_shards: int, crawl_id: str, fetch_round: int, agent: str = ""
+):
     """Stateless map_batches fn: frontier batch → FETCHED-schema batch.
 
     Partitions the batch's URLs by corpus shard, fires one ``fetch.remote``
-    per shard, and reassembles rows in frontier order."""
+    per shard, and reassembles rows in frontier order. ``agent`` is stamped
+    into every row (M6 — reference: UA override at scan.rs:34-36)."""
     import ray
 
     def fetch_batch(batch: pa.Table) -> pa.Table:
@@ -119,6 +122,7 @@ def make_fetch_fn(handles: list, n_shards: int, crawl_id: str, fetch_round: int)
                 spans,
                 pa.array(np.full(n, fetch_round, dtype=np.int32)),
                 pa.array([crawl_id] * n, pa.string()),
+                pa.array([agent] * n, pa.string()),
             ],
             schema=schemas.FETCHED,
         )

@@ -124,12 +124,45 @@ def path_of(urls: pa.Array | pa.ChunkedArray) -> pa.Array:
     return pc.if_else(pc.equal(rest, ""), pa.scalar("/"), rest)
 
 
+# Embedded subset of the ICANN public suffix list: the common two-label
+# suffixes under which registrations happen one level deeper (PSL,
+# publicsuffix.org — public knowledge; spider resolves these via the full
+# list, SURVEY §2.8). Wildcard/exception PSL rules are out of scope and
+# documented as such; unknown hosts fall back to "last two labels".
+PSL_TWO_LABEL = frozenset(
+    {
+        "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk",
+        "plc.uk", "sch.uk", "com.au", "net.au", "org.au", "edu.au", "gov.au",
+        "id.au", "asn.au", "com.br", "net.br", "org.br", "gov.br", "co.jp",
+        "ne.jp", "or.jp", "ac.jp", "go.jp", "co.nz", "net.nz", "org.nz",
+        "govt.nz", "co.za", "org.za", "net.za", "gov.za", "com.cn", "net.cn",
+        "org.cn", "gov.cn", "edu.cn", "com.mx", "com.ar", "com.tr", "com.tw",
+        "com.hk", "com.sg", "com.my", "co.in", "net.in", "org.in", "gov.in",
+        "ac.in", "co.kr", "or.kr", "go.kr", "ne.kr", "co.id", "or.id",
+        "co.th", "ac.th", "go.th", "com.vn", "com.ph", "com.pk", "co.il",
+        "org.il", "ac.il", "gov.il", "com.ua", "in.ua", "com.pl", "net.pl",
+        "org.pl", "com.eg", "com.sa",
+    }
+)
+_PSL_ARR = pa.array(sorted(PSL_TWO_LABEL))
+
+
 def registrable_stem(hosts: pa.Array | pa.ChunkedArray) -> pa.Array:
-    """First label of the registrable domain ('sub.site-0003.test' →
-    'site-0003'). Registrable domain approximated as the last two labels."""
+    """First label of the registrable domain: 'sub.site-0003.test' →
+    'site-0003', 'shop.example.co.uk' → 'example' (PSL-aware for the embedded
+    two-label suffix subset; plain last-two-labels otherwise)."""
     hosts = _combine(hosts)
     ex = pc.extract_regex(hosts, r"(?P<stem>[^.]+)\.[^.]+$")
-    stem = pc.struct_field(ex, "stem")
+    stem2 = pc.struct_field(ex, "stem")
+    ex3 = pc.extract_regex(hosts, r"(?P<l3>[^.]+)\.(?P<l2>[^.]+)\.(?P<l1>[^.]+)$")
+    l3 = pc.struct_field(ex3, "l3")
+    suffix2 = pc.binary_join_element_wise(
+        pc.struct_field(ex3, "l2"), pc.struct_field(ex3, "l1"), "."
+    )
+    on_psl = pc.fill_null(
+        pc.and_(pc.is_valid(l3), pc.is_in(suffix2, value_set=_PSL_ARR)), False
+    )
+    stem = pc.if_else(on_psl, l3, stem2)
     # single-label host: stem is the host itself
     return pc.if_else(pc.is_valid(stem), stem, hosts)
 

@@ -85,3 +85,28 @@ def test_bench_smoke(tmp_path):
     assert rec["unit"] == "sec" and rec["value"] > 0
     assert set(rec["queries"]) and rec["num_cpus"] == 4
     assert rec["crawl_e2e"]["pages"] > 0 and rec["wave"]["pages"] > 0
+
+
+def test_agent_stamped_into_fetched(ray_session, tmp_path):
+    """M6: the effective user agent appears on every fetched row; 'random'
+    resolves deterministically per crawl_id."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from crawler_ray.config import CrawlConfig, resolve_agent
+    from crawler_ray.engine import run_crawl
+    from crawler_ray.synth import CorpusSpec, corpus_path, robots_path
+
+    spec = CorpusSpec(n_hosts=2, pages_per_host=10)
+    cp = corpus_path(spec)
+    robots = pq.read_table(robots_path(spec))
+    out = str(tmp_path / "out")
+    cfg = CrawlConfig(url=f"https://{spec.host(0)}/", agent="random", crawl_id="7")
+    run_crawl(cp, cfg, robots, out_dir=out)
+    agents = set()
+    for f in glob.glob(out + "/fetched/**/*.parquet", recursive=True):
+        agents |= set(pq.read_table(f, columns=["agent"])["agent"].to_pylist())
+    assert agents == {resolve_agent(cfg)}
+    assert resolve_agent(cfg) != "random"
+    assert resolve_agent(CrawlConfig(agent="custom/1.0")) == "custom/1.0"
