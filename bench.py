@@ -265,7 +265,7 @@ def dedup_microbench(n: int = 4_000_000, shards: int = 16) -> dict:
     import ray
     import ray.data as rd
 
-    from crawler_ray.state.seen import SeenShard, stable_hash64
+    from crawler_ray.state.seen import SeenShard, route_hash
 
     RSeen = ray.remote(SeenShard)
     actors = [
@@ -276,7 +276,7 @@ def dedup_microbench(n: int = 4_000_000, shards: int = 16) -> dict:
     def route(batch: pa.Table) -> pa.Table:
         ids = batch["id"].combine_chunks().to_numpy()
         urls = np.char.add("https://bench.test/p", ids.astype("U9")).astype(object)
-        shard = (stable_hash64(urls) % shards).astype(np.int64)
+        shard = (route_hash(urls) % shards).astype(np.int64)
         refs = []
         for s in np.unique(shard):
             pos = np.flatnonzero(shard == s)

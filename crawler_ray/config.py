@@ -27,7 +27,10 @@ class CrawlConfig:
     max_pages: int = -1                # global page budget, -1 = unbounded (O3)
     round_ms: int = 1000               # politeness window one round models (T3)
     blacklist: tuple[str, ...] = ()    # regex URL blacklist (M5)
-    stop_flag_path: str = ""           # between-round shutdown check (T6)
+    stop_flag_path: str = ""           # shutdown flag: checked between rounds
+    # AND per fetch batch inside distributed rounds (T6, client.rs:88-99)
+    post_fetch_stages: tuple[str, ...] = ()  # named result stages applied to
+    # each round's fetched rows on the sink path (§2.10; stages/registry.py)
 
     # --- physical knobs ---
     n_seen_shards: int = 8             # T1 shard count (O(cluster cores) at scale)

@@ -66,7 +66,7 @@ from .stages.dedup import make_claim_fn
 from .stages.fetch import CorpusShard, make_fetch_fn
 from .stages.select import select_frontier, select_small
 from .state.robots import RobotsPolicy
-from .state.seen import SeenShard, stable_hash64
+from .state.seen import SeenShard, route_hash
 
 
 @dataclass
@@ -244,7 +244,7 @@ class CrawlEngine:
                 urls.append(sm)
         if not urls:
             return schemas.FRONTIER.empty_table()
-        shard = stable_hash64(urls) % self.cfg.n_seen_shards
+        shard = route_hash(urls) % self.cfg.n_seen_shards
         keep = []
         for s in sorted(set(shard.tolist())):
             pos = [i for i, sh in enumerate(shard) if sh == s]
@@ -327,9 +327,14 @@ class CrawlEngine:
             t0 = time.time()
             rdir = os.path.join(out_dir, "fetched", f"round={r}")
             os.makedirs(rdir, exist_ok=True)
-            pq.write_table(fetched, os.path.join(rdir, "part-driver.parquet"))
+            out_tab = fetched
+            if cfg.post_fetch_stages:  # §2.10 sink-path extension stages
+                from .stages.registry import apply_stages_table
+
+                out_tab = apply_stages_table(fetched, cfg.post_fetch_stages)
+            pq.write_table(out_tab, os.path.join(rdir, "part-driver.parquet"))
             self._lineage(
-                "results", fetched.num_rows, fetched.num_rows, (time.time() - t0) * 1000, rdir
+                "results", fetched.num_rows, out_tab.num_rows, (time.time() - t0) * 1000, rdir
             )
 
         t0 = time.time()
@@ -387,7 +392,16 @@ class CrawlEngine:
         fetched = (
             selected.repartition(self._nblocks(n_sel))
             .map_batches(
-                make_fetch_fn(self.corpus, cfg.n_corpus_shards, cfg.crawl_id, r, self.agent),
+                make_fetch_fn(
+                    self.corpus,
+                    cfg.n_corpus_shards,
+                    cfg.crawl_id,
+                    r,
+                    self.agent,
+                    # mid-round cooperative shutdown (distributed rounds can
+                    # be long; reference aborts at any time, client.rs:88-99)
+                    cfg.stop_flag_path,
+                ),
                 batch_format="pyarrow",
                 batch_size=None,  # one call per block; shard routing inside
                 zero_copy_batch=True,
@@ -401,7 +415,12 @@ class CrawlEngine:
         if out_dir and n_pages:
             t0 = time.time()
             rdir = os.path.join(out_dir, "fetched", f"round={r}")
-            fetched.write_parquet(rdir)
+            out_ds = fetched
+            if cfg.post_fetch_stages:  # §2.10 sink-path extension stages
+                from .stages.registry import apply_stages_dataset
+
+                out_ds = apply_stages_dataset(fetched, cfg.post_fetch_stages)
+            out_ds.write_parquet(rdir)
             self._lineage("results", n_pages, n_pages, (time.time() - t0) * 1000, rdir)
 
         t0 = time.time()

@@ -117,14 +117,20 @@ def crawl(
         return res
     seed_host = host_of(seed)
 
+    # membership keys are case-folded whole URLs (spider's visited set is
+    # case-insensitive — case_insensitive_string, Cargo.lock:289); res.visited
+    # keeps the discovered casing
+    seen_keys: set[str] = set()
     frontier: list[tuple[str, int]] = []  # (url, depth)
     if admissible(seed, seed_host):
+        seen_keys.add(seed.lower())
         res.visited.add(seed)
         res.waves[seed] = 0
         frontier.append((seed, 0))
     if cfg.sitemap:
         sm = f"https://{seed_host}/sitemap.xml"
-        if admissible(sm, seed_host) and sm not in res.visited:
+        if admissible(sm, seed_host) and sm.lower() not in seen_keys:
+            seen_keys.add(sm.lower())
             res.visited.add(sm)
             res.waves[sm] = 0
             frontier.append((sm, 0))
@@ -154,7 +160,9 @@ def crawl(
             if not selected:
                 break
         # --- fetch + extract ---
-        candidates: dict[str, tuple[int, str]] = {}  # dst -> (depth, src)
+        # folded key -> (depth, src, dst original) — min tuple wins, matching
+        # SeenShard.claim's (pack, url) argmin
+        candidates: dict[str, tuple[int, str, str]] = {}
         selected.sort(key=lambda t: (t[1], t[0]))
         for u, d in selected:
             spans = corpus.get(u)
@@ -176,13 +184,15 @@ def crawl(
                 nd = d + 1
                 if 0 <= cfg.max_depth < nd:
                     continue
-                prev = candidates.get(dst)
-                if prev is None or (nd, u) < prev:
-                    candidates[dst] = (nd, u)
-        # --- dedup vs visited, enqueue novel ---
+                key = dst.lower()
+                prev = candidates.get(key)
+                if prev is None or (nd, u, dst) < prev:
+                    candidates[key] = (nd, u, dst)
+        # --- dedup vs visited (case-insensitive), enqueue novel ---
         novel = []
-        for dst, (nd, src) in candidates.items():
-            if dst not in res.visited:
+        for key, (nd, src, dst) in candidates.items():
+            if key not in seen_keys:
+                seen_keys.add(key)
                 res.visited.add(dst)
                 res.waves[dst] = nd
                 novel.append((dst, nd))

@@ -5,7 +5,8 @@ against the sharded seen set (SURVEY.md T1/J2/D1; reference: visited
 
 ``make_claim_fn`` is a stateless map_batches fn closed over the SeenShard
 actor handles: it partitions each batch of per-batch-combined candidates
-(dst, pack) by ``stable_hash64(url) % n_shards`` and registers them via
+(dst, pack) by ``route_hash(url) % n_shards`` (hash of the case-folded
+membership key — spider's visited set is case-insensitive on the whole URL) and registers them via
 ``SeenShard.claim`` — the shard keeps the lexicographic-min pack per URL, so
 the per-round unique+argmin lives with the seen state instead of costing a
 separate groupby shuffle. After the claim stage is fully consumed, the engine
@@ -18,7 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..state.seen import stable_hash64
+from ..state.seen import route_hash
 
 _MAX_MSG = 262_144  # cap rows per actor message (bounds serialization spikes)
 
@@ -32,7 +33,7 @@ def make_claim_fn(handles: list, n_shards: int):
             return pa.table({"claimed": pa.array([0], pa.int64())})
         urls = batch.column("dst").combine_chunks().to_numpy(zero_copy_only=False)
         packs = batch.column("pack").combine_chunks().to_numpy(zero_copy_only=False)
-        shard = (stable_hash64(urls) % n_shards).astype(np.int64)
+        shard = (route_hash(urls) % n_shards).astype(np.int64)
         refs = []
         for s in np.unique(shard):
             pos = np.flatnonzero(shard == s)

@@ -18,6 +18,8 @@ mirroring the reference's skipped fetch errors (scan.rs:45-46).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -80,19 +82,32 @@ class CorpusShard:
 
 
 def make_fetch_fn(
-    handles: list, n_shards: int, crawl_id: str, fetch_round: int, agent: str = ""
+    handles: list,
+    n_shards: int,
+    crawl_id: str,
+    fetch_round: int,
+    agent: str = "",
+    stop_flag_path: str = "",
 ):
     """Stateless map_batches fn: frontier batch → FETCHED-schema batch.
 
     Partitions the batch's URLs by corpus shard, fires one ``fetch.remote``
     per shard, and reassembles rows in frontier order. ``agent`` is stamped
-    into every row (M6 — reference: UA override at scan.rs:34-36)."""
+    into every row (M6 — reference: UA override at scan.rs:34-36).
+
+    ``stop_flag_path``: mid-round cooperative shutdown — the reference's
+    "shutdown" control aborts a crawl at ANY time (spider::utils::shutdown,
+    /root/reference/src/rpc/client.rs:88-99); checking the flag per fetch
+    batch makes a long distributed round abort within one batch instead of
+    only at the round boundary. Skipped batches are safe: pages are recorded
+    in the seen set at discovery, not at fetch, and resume re-runs from the
+    last committed round."""
     import ray
 
     def fetch_batch(batch: pa.Table) -> pa.Table:
         urls = batch.column("url").combine_chunks()
         n = len(urls)
-        if n == 0:
+        if n == 0 or (stop_flag_path and os.path.exists(stop_flag_path)):
             return schemas.FETCHED.empty_table()
         url_np = urls.to_numpy(zero_copy_only=False)
         shard = (stable_hash64(url_np) % n_shards).astype(np.int64)

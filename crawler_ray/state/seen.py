@@ -25,6 +25,22 @@ import numpy as np
 import pandas as pd
 
 
+def fold_urls(urls) -> np.ndarray:
+    """Case-folded seen-set membership keys. spider's visited set compares
+    the WHOLE URL case-insensitively (`case_insensitive_string`,
+    /root/reference/Cargo.lock:289); the rebuild matches by folding at every
+    seen-set boundary — routing AND shard membership — while storing the
+    originally-discovered casing for output."""
+    return pd.Series(np.asarray(urls, dtype=object)).str.lower().to_numpy(dtype=object)
+
+
+def route_hash(urls) -> np.ndarray:
+    """Shard-routing hash over the folded membership key (must agree with the
+    shard's internal fold or different casings would land on different
+    shards)."""
+    return stable_hash64(fold_urls(urls))
+
+
 def stable_hash64(values, key: str | None = None) -> np.ndarray:
     """Deterministic 64-bit hash of a string sequence (same across processes,
     unlike builtin hash()). pandas' siphash — vectorized C, ~10M strings/s.
@@ -137,8 +153,11 @@ class SeenShard:
     def __init__(self, shard_id: int, capacity: int = 1 << 16, exact: bool = True):
         self.shard_id = shard_id
         self.filter = CuckooFilter(capacity)
+        # membership is keyed on the CASE-FOLDED url (spider parity, see
+        # fold_urls); `originals` keeps the discovered casing for output
         self.exact = set() if exact else None
-        self.pending: dict[str, str] = {}  # url -> min pack ("depth|parent")
+        self.originals: dict[str, str] = {}  # folded key -> original url
+        self.pending: dict[str, tuple[str, str]] = {}  # key -> (min pack, url)
 
     def _maybe_grow(self, incoming: int) -> None:
         """Rebuild the filter at 2× when the next insert burst would push it
@@ -158,14 +177,16 @@ class SeenShard:
 
     def check_and_add(self, urls: list[str]) -> np.ndarray:
         """Returns bool mask: True where the URL was NOT seen before (and is
-        now marked seen). URLs must be unique within the call."""
+        now marked seen). URLs must be unique (after case folding) within the
+        call."""
         if not urls:
             return np.zeros(0, dtype=bool)
-        h = stable_hash64(urls)
+        keys = fold_urls(urls)
+        h = stable_hash64(keys)
         maybe_seen = self.filter.contains_hashes(h)
         if self.exact is not None:
             novel = np.fromiter(
-                (u not in self.exact for u in urls), dtype=bool, count=len(urls)
+                (k not in self.exact for k in keys), dtype=bool, count=len(keys)
             )
             # cuckoo must never false-negative: anything exact-seen must probe seen
             fn = (~maybe_seen) & (~novel)
@@ -174,7 +195,10 @@ class SeenShard:
             # grow BEFORE updating exact: the rebuild re-hashes the exact set,
             # so the new URLs must not be in it yet (they are added below)
             self._maybe_grow(int(novel.sum()))
-            self.exact.update(u for u, n in zip(urls, novel) if n)
+            for u, k, n in zip(urls, keys, novel):
+                if n:
+                    self.exact.add(k)
+                    self.originals[k] = u
         else:
             novel = ~maybe_seen
             self._maybe_grow(int(novel.sum()))
@@ -184,41 +208,39 @@ class SeenShard:
     def contains(self, urls: list[str]) -> np.ndarray:
         if not urls:
             return np.zeros(0, dtype=bool)
+        keys = fold_urls(urls)
         if self.exact is not None:
             return np.fromiter(
-                (u in self.exact for u in urls), dtype=bool, count=len(urls)
+                (k in self.exact for k in keys), dtype=bool, count=len(keys)
             )
-        return self.filter.contains_hashes(stable_hash64(urls))
+        return self.filter.contains_hashes(stable_hash64(keys))
 
     # -- per-round claim/harvest (removes the per-round groupby shuffle) ----
     def claim(self, urls: list[str], packs: list[str]) -> int:
         """Register candidate URLs discovered this round with their packed
-        (depth|parent) keys. Duplicate claims keep the lexicographic-min pack,
-        so the outcome is independent of task/message arrival order — this IS
-        the per-round unique+argmin that a groupby('url').Min(pack) would
+        (depth|parent) keys. Duplicate claims (including case variants of one
+        folded key) keep the lexicographic-min (pack, url) tuple, so the
+        outcome is independent of task/message arrival order — this IS the
+        per-round unique+argmin that a groupby('url').Min(pack) would
         compute, held where the seen state already lives."""
         pend = self.pending
-        seen = self.exact if self.exact is not None else None
-        if seen is not None:
-            for u, p in zip(urls, packs):
-                if u in seen:
-                    continue
-                cur = pend.get(u)
-                if cur is None or p < cur:
-                    pend[u] = p
+        keys = fold_urls(urls)
+        if self.exact is not None:
+            seen_mask = (k in self.exact for k in keys)
         else:
-            h = self.filter.contains_hashes(stable_hash64(urls))
-            for (u, p), maybe in zip(zip(urls, packs), h):
-                if maybe:
-                    continue
-                cur = pend.get(u)
-                if cur is None or p < cur:
-                    pend[u] = p
+            seen_mask = self.filter.contains_hashes(stable_hash64(keys))
+        for u, k, p, s in zip(urls, keys, packs, seen_mask):
+            if s:
+                continue
+            cur = pend.get(k)
+            if cur is None or (p, u) < cur:
+                pend[k] = (p, u)
         return len(pend)
 
     def harvest(self, crawl_id: str, next_round: int):
         """Commit this round's pending claims into the seen set and return
-        them as FRONTIER-schema rows (sorted by url — deterministic)."""
+        them as FRONTIER-schema rows (sorted by membership key —
+        deterministic)."""
         import pyarrow as pa
 
         from .. import schemas, urlnorm
@@ -227,13 +249,17 @@ class SeenShard:
         self.pending = {}
         if not items:
             return schemas.FRONTIER.empty_table()
-        urls = [u for u, _ in items]
-        self._maybe_grow(len(urls))  # before exact.update (rebuild re-hashes exact)
+        keys = [k for k, _ in items]
+        urls = [u for _, (_, u) in items]
+        self._maybe_grow(len(keys))  # before exact.update (rebuild re-hashes exact)
         if self.exact is not None:
-            self.exact.update(urls)
-        self.filter.add_hashes(stable_hash64(urls))
-        depth = np.fromiter((int(p[:10]) for _, p in items), dtype=np.int32, count=len(items))
-        parent = [p[11:] for _, p in items]
+            self.exact.update(keys)
+            self.originals.update(zip(keys, urls))
+        self.filter.add_hashes(stable_hash64(keys))
+        depth = np.fromiter(
+            (int(p[:10]) for _, (p, _) in items), dtype=np.int32, count=len(items)
+        )
+        parent = [p[11:] for _, (p, _) in items]
         arr = pa.array(urls, pa.string())
         return pa.Table.from_arrays(
             [
@@ -255,7 +281,7 @@ class SeenShard:
     def snapshot(self) -> dict:
         return {
             "shard_id": self.shard_id,
-            "urls": sorted(self.exact) if self.exact is not None else [],
+            "urls": sorted(self.originals.values()) if self.exact is not None else [],
             "filter": self.filter.state(),
         }
 
@@ -263,7 +289,10 @@ class SeenShard:
         self.shard_id = snap["shard_id"]
         self.filter = CuckooFilter.from_state(snap["filter"])
         if self.exact is not None:
-            self.exact = set(snap["urls"])
+            urls = snap["urls"]
+            keys = fold_urls(urls) if urls else []
+            self.exact = set(keys)
+            self.originals = dict(zip(keys, urls))
 
     # -- actor-side persistence (the 10^10 path: the driver never holds the
     # seen set — shards write/read their own partitions, the driver moves
@@ -276,7 +305,7 @@ class SeenShard:
 
         from .. import schemas
 
-        urls = sorted(self.exact) if self.exact is not None else []
+        urls = sorted(self.originals.values()) if self.exact is not None else []
         return pa.Table.from_arrays(
             [
                 pa.array([self.shard_id] * len(urls), pa.int32()),

@@ -164,3 +164,97 @@ def test_randomized_corpus_equality(seed, hot, ray_session, tmp_path):
         o = oracle_crawl(cd, cfg, rd_)
         assert set(res.visited) == o.visited, kw
         assert res.pages_fetched == len(o.fetched), kw
+
+
+def test_case_insensitive_visited(ray_session, tmp_path):
+    """spider's visited set compares whole URLs case-insensitively
+    (case_insensitive_string, Cargo.lock:289): two casings of one URL yield
+    ONE visit, keeping the deterministic-min casing; engine ≡ oracle."""
+    import pyarrow as pa
+
+    from crawler_ray import schemas
+    from crawler_ray.engine import run_crawl
+    from crawler_ray.oracle import corpus_as_dict
+
+    def doc(doc_id, links):
+        spans = [
+            {"kind": "link", "text": l, "media_ref": "", "offset": i}
+            for i, l in enumerate(links)
+        ]
+        return {"doc_id": doc_id, "spans": spans}
+
+    rows = [
+        doc("https://h.test/", ["https://h.test/About", "https://h.test/about"]),
+        doc("https://h.test/about", []),
+    ]
+    corpus = pa.Table.from_pylist(rows, schema=schemas.CORPUS)
+    cp = str(tmp_path / "c.parquet")
+    import pyarrow.parquet as pq
+
+    pq.write_table(corpus, cp)
+    cfg = CrawlConfig(url="https://h.test/", respect_robots_txt=False)
+    res = run_crawl(cp, cfg, None)
+    o = oracle_crawl(corpus_as_dict(corpus), cfg, {})
+    # one casing visited, the lexicographic-min one; both sides agree
+    assert set(res.visited) == o.visited == {"https://h.test/", "https://h.test/About"}
+    assert res.pages_fetched == len(o.fetched) == 2
+
+
+def test_mid_round_stop_flag(ray_session, tmp_path, fixtures):
+    """A stop flag raised while a distributed round is in flight aborts the
+    round's remaining fetch batches (reference parity: "shutdown" aborts at
+    any time, client.rs:88-99)."""
+    import ray.data as rd
+
+    from crawler_ray.engine import CrawlEngine
+
+    flag = str(tmp_path / "stop")
+    cfg = CrawlConfig(
+        url="https://site-0000.test/",
+        stop_flag_path=flag,
+        small_round_threshold=0,  # force the distributed path
+    )
+    eng = CrawlEngine(fixtures["cp"], cfg, fixtures["robots"])
+    try:
+        frontier = eng._seed_frontier()
+        open(flag, "w").close()  # shutdown arrives mid-round
+        fetched, _, _ = eng._round_distributed(
+            rd.from_arrow(frontier).materialize(), ""
+        )
+        assert fetched.count() == 0  # every batch saw the flag and skipped
+    finally:
+        eng.close()
+
+
+def test_post_fetch_stage_registry(ray_session, tmp_path, fixtures):
+    """§2.10 extension surface: a registered result stage transforms the sink
+    output without touching crawl semantics — on BOTH physical paths."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from crawler_ray.engine import run_crawl
+    from crawler_ray.stages.registry import register_stage
+
+    def add_n_spans(t: pa.Table) -> pa.Table:
+        return t.append_column("n_spans", pc.list_value_length(t["spans"]).cast("int32"))
+
+    register_stage("n_spans", add_n_spans)
+
+    for thresh, tag in [(20_000, "small"), (0, "dist")]:
+        out = str(tmp_path / tag)
+        cfg = CrawlConfig(
+            url="https://site-0000.test/",
+            post_fetch_stages=("n_spans",),
+            small_round_threshold=thresh,
+        )
+        res = run_crawl(fixtures["cp"], cfg, fixtures["robots"], out_dir=out)
+        o = oracle_crawl(fixtures["cd"], cfg, fixtures["rd"])
+        assert set(res.visited) == o.visited  # crawl semantics unchanged
+        files = glob.glob(out + "/fetched/**/*.parquet", recursive=True)
+        assert files
+        for f in files:
+            t = pq.read_table(f)
+            assert "n_spans" in t.column_names
+            assert t["n_spans"].to_pylist() == [len(s) for s in t["spans"].to_pylist()]
