@@ -153,11 +153,15 @@ def scaling_job(spec=None) -> dict:
     spec = spec or _scaling_spec()
     cp = corpus_path(spec)
     _warm_cache([cp])
+    # stateful-shard counts scale with the cluster (config.py: shards are
+    # O(cluster cores) at scale) — pinning them at 8 made the actor-bound
+    # fetch/claim stages a fixed-size bottleneck that can't scale past 8 cpus
+    n_shards = max(4, NUM_CPUS // 2)
     cfg = CrawlConfig(
         url=f"https://{spec.host(0)}/",
         small_round_threshold=0,
-        n_corpus_shards=8,
-        n_seen_shards=8,
+        n_corpus_shards=n_shards,
+        n_seen_shards=n_shards,
         seen_capacity=1 << 20,
         respect_robots_txt=False,
     )
