@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # curation composition (quality gate → dedup → cluster → keep list)
         "dup_clusters": _lazy("crawler_ray.pipelines.curate", "dup_clusters"),
         "curate": _lazy("crawler_ray.pipelines.curate", "curate"),
+        "export_curated": _export_curated_fresh,
         # similarity search
         "ann_bruteforce": S.ann_bruteforce,
         "ann_lsh": S.ann_lsh,
@@ -123,6 +124,19 @@ def oracle_sql() -> dict[str, str]:
         # lang_id, quality, minhash/simhash/embedding/ngram pairs, ann_lsh,
         # media_features: sketch-based or heuristic — rows-only checks.
     }
+
+
+def _export_curated_fresh(sf_dir):
+    """Resumable partitioned export, run against a wiped output dir so the
+    driver's rows-only check is deterministic (pytest exercises the
+    skip-finished-shards resume path)."""
+    import shutil
+
+    from crawler_ray.pipelines.curate import export_curated
+
+    out = "/tmp/crawler_ray_export/driver_check"
+    shutil.rmtree(out, ignore_errors=True)
+    return export_curated(sf_dir, out_dir=out)
 
 
 def _media_manifest_sql() -> str:

@@ -748,16 +748,25 @@ def run_jobs(
     jobs: list[CrawlConfig],
     robots_table: pa.Table | None = None,
     out_root: str = "",
+    parallel: bool = False,
 ) -> list[CrawlResult]:
     """Multiple crawl jobs (reference: one detached tokio task per gRPC
-    request, src/rpc/server.rs:35,71 — here sequential per driver; run several
-    drivers for job-level parallelism, matching the reference's
-    isolated-context design, README.md:119)."""
-    results = []
-    for cfg in jobs:
+    request, src/rpc/server.rs:35,71). ``parallel=True`` runs one driver
+    thread per job — each job's state is fully isolated in its own actor set
+    (the reference's isolated-context design, README.md:119), and the round
+    loops block in ``ray.get`` so threads interleave on the shared cluster.
+    Results come back in job order either way."""
+
+    def one(cfg: CrawlConfig) -> CrawlResult:
         out = os.path.join(out_root, f"crawl={cfg.crawl_id}") if out_root else ""
-        results.append(run_crawl(corpus_parquet, cfg, robots_table, out_dir=out))
-    return results
+        return run_crawl(corpus_parquet, cfg, robots_table, out_dir=out)
+
+    if not parallel:
+        return [one(cfg) for cfg in jobs]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(len(jobs), 8)) as pool:
+        return list(pool.map(one, jobs))
 
 
 def run_scan(

