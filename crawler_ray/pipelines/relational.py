@@ -567,7 +567,9 @@ def brand_volume(sf_dir: str):
 
 def brand_volume_sql() -> str:
     return """
-    SELECT p_brand, SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+    -- outer CAST: DuckDB SUM(BIGINT) yields HUGEINT (→ float64 in pandas),
+    -- which would value-hash-mismatch the engine's int64 despite equal values
+    SELECT p_brand, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
     FROM lineitem
     JOIN part ON l_partkey = p_partkey
     GROUP BY p_brand
