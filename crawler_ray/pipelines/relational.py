@@ -50,23 +50,35 @@ def q1_pricing_summary(sf_dir: str):
         # integer-exact money units (cents / 1e-4): float partial sums differ
         # between engines in summation order, which flips rounded digits on
         # exact .xx5 boundaries — integer sums are order-independent and the
-        # derived doubles match DuckDB bit-for-bit
+        # derived doubles match DuckDB bit-for-bit. Arrow-native group_by —
+        # no per-batch pandas conversion (VERDICT r1 nit).
         t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
-        df = t.to_pandas()
-        disc = df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy())
-        df["base_cents"] = round_np(df["l_extendedprice"].to_numpy() * 100.0, 0).astype("int64")
-        df["disc_u"] = round_np(disc * 10000.0, 0).astype("int64")
-        g = (
-            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
-            .agg(
-                sum_qty=("l_quantity", "sum"),
-                base_cents=("base_cents", "sum"),
-                disc_u=("disc_u", "sum"),
-                count_order=("l_quantity", "size"),
-            )
-            .reset_index()
+        price = t["l_extendedprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"].combine_chunks(),
+                "l_linestatus": t["l_linestatus"].combine_chunks(),
+                "sum_qty": t["l_quantity"].combine_chunks(),
+                "base_cents": pa.array(round_np(price * 100.0, 0).astype("int64")),
+                "disc_u": pa.array(
+                    round_np(price * (1.0 - disc) * 10000.0, 0).astype("int64")
+                ),
+            }
         )
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+        g = t.group_by(["l_returnflag", "l_linestatus"], use_threads=False).aggregate(
+            [("sum_qty", "sum"), ("base_cents", "sum"), ("disc_u", "sum"), ("sum_qty", "count")]
+        )
+        return g.rename_columns(
+            [
+                "l_returnflag",
+                "l_linestatus",
+                "sum_qty",
+                "base_cents",
+                "disc_u",
+                "count_order",
+            ]
+        )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     # repartition pins the post-combiner shuffle partition count (see dedup.py)
@@ -162,24 +174,31 @@ def segment_revenue(sf_dir: str):
     import ray
     from ray.data.aggregate import Sum
 
-    cust = (
-        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-        .to_pandas()
-        .set_index("c_custkey")["c_mktsegment"]
+    import pyarrow.parquet as pq
+
+    cust_tab = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    ).combine_chunks()
+    # broadcast the two lookup ARRAYS (zero-copy Arrow in the object store);
+    # per batch: index_in + take — no pandas map
+    ref = ray.put(
+        (
+            cust_tab.column("c_custkey").combine_chunks(),
+            cust_tab.column("c_mktsegment").combine_chunks(),
+        )
     )
-    ref = ray.put(cust)
 
     def attach(t: pa.Table) -> pa.Table:
-        seg_map = ray.get(ref)
-        df = t.to_pandas()
-        df["c_mktsegment"] = df["o_custkey"].map(seg_map)
-        df["cents"] = round_np(df["o_totalprice"].to_numpy() * 100.0, 0).astype("int64")
-        g = (
-            df.groupby("c_mktsegment", sort=False)
-            .agg(cents=("cents", "sum"), n_orders=("cents", "size"))
-            .reset_index()
+        keys, segs = ray.get(ref)
+        idx = pc.index_in(t["o_custkey"].combine_chunks(), value_set=keys)
+        cents = round_np(
+            t["o_totalprice"].combine_chunks().to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype("int64")
+        t2 = pa.table({"c_mktsegment": pc.take(segs, idx), "cents": pa.array(cents)})
+        g = t2.group_by(["c_mktsegment"], use_threads=False).aggregate(
+            [("cents", "sum"), ("cents", "count")]
         )
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+        return g.rename_columns(["c_mktsegment", "cents", "n_orders"])
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     partials = ds.map_batches(attach, batch_format="pyarrow", batch_size=65536)
@@ -236,18 +255,28 @@ def nation_revenue(sf_dir: str):
         orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
     )
 
+    # pre-compose the customer→nation-name lookup on the driver (both dims are
+    # small) and broadcast the two Arrow arrays; per batch: index_in + take
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    c2n = cust.set_index("c_custkey")["c_nationkey"]
-    n2name = nation.set_index("n_nationkey")["n_name"]
-    ref = ray.put((c2n, n2name))
+    c2name = cust.merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey", how="left"
+    )
+    ref = ray.put(
+        (
+            pa.array(c2name["c_custkey"].to_numpy()),
+            pa.array(c2name["n_name"].to_numpy(dtype=object), pa.string()),
+        )
+    )
 
     def attach(t: pa.Table) -> pa.Table:
-        c2n_, n2name_ = ray.get(ref)
-        df = t.to_pandas()
-        df["n_name"] = df["o_custkey"].map(c2n_).map(n2name_)
-        g = df.groupby("n_name", sort=False).agg(rev_u=("rev_u", "sum")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+        keys, names = ray.get(ref)
+        idx = pc.index_in(t["o_custkey"].combine_chunks(), value_set=keys)
+        t2 = pa.table(
+            {"n_name": pc.take(names, idx), "rev_u": t["rev_u"].combine_chunks()}
+        )
+        g = t2.group_by(["n_name"], use_threads=False).aggregate([("rev_u", "sum")])
+        return g.rename_columns(["n_name", "rev_u"])
 
     partials = joined.map_batches(attach, batch_format="pyarrow", batch_size=65536)
     out = partials.repartition(8).groupby("n_name").aggregate(Sum("rev_u", alias_name="rev_u"))
@@ -316,18 +345,25 @@ def events_hourly(sf_dir: str):
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        win = (df["ts"].astype("int64") // 10**6 // 3600) * 3600
-        df = df.assign(
-            window_start=win,
-            cents=round_np(df["value"].to_numpy() * 100.0, 0).astype("int64"),
+        # Arrow-native: event-time bucketing with integer kernels, group_by
+        # without a pandas round-trip (timestamps are positive, so integer
+        # division truncation == floor)
+        ts = t["ts"].combine_chunks().cast(pa.int64())
+        win = pc.multiply(pc.divide(ts, 3600 * 10**6), 3600)
+        cents = round_np(
+            t["value"].combine_chunks().to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype("int64")
+        t2 = pa.table(
+            {
+                "event_type": t["event_type"].combine_chunks(),
+                "window_start": win,
+                "cents": pa.array(cents),
+            }
         )
-        g = (
-            df.groupby(["event_type", "window_start"], sort=False)
-            .agg(cents=("cents", "sum"), n_events=("cents", "size"))
-            .reset_index()
+        g = t2.group_by(["event_type", "window_start"], use_threads=False).aggregate(
+            [("cents", "sum"), ("cents", "count")]
         )
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+        return g.rename_columns(["event_type", "window_start", "cents", "n_events"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     out = partials.repartition(8).groupby(["event_type", "window_start"]).aggregate(
@@ -484,24 +520,37 @@ def q5_region_revenue(sf_dir: str):
         cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
     )
 
+    # pre-compose supplier→(nationkey, in-ASIA) and nation→name on the driver
+    # (all dims tiny), broadcast Arrow arrays; per batch: index_in + take
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
     region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
-    s2n = supp.set_index("s_suppkey")["s_nationkey"]
-    n2name = nation.set_index("n_nationkey")["n_name"]
-    n2r = nation.set_index("n_nationkey")["n_regionkey"]
-    r2name = region.set_index("r_regionkey")["r_name"]
-    ref = ray.put((s2n, n2name, n2r, r2name))
+    nr = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    sn = supp.merge(nr, left_on="s_nationkey", right_on="n_nationkey")
+    ref = ray.put(
+        (
+            pa.array(sn["s_suppkey"].to_numpy()),
+            pa.array(sn["s_nationkey"].to_numpy()),
+            pa.array((sn["r_name"] == "ASIA").to_numpy()),
+            pa.array(nr["n_nationkey"].to_numpy()),
+            pa.array(nr["n_name"].to_numpy(dtype=object), pa.string()),
+        )
+    )
 
     def attach(t: pa.Table) -> pa.Table:
-        s2n_, n2name_, n2r_, r2name_ = ray.get(ref)
-        df = t.to_pandas()
-        s_nat = df["l_suppkey"].map(s2n_)
-        keep = (s_nat == df["c_nationkey"]) & (s_nat.map(n2r_).map(r2name_) == "ASIA")
-        df = df.loc[keep]
-        df = df.assign(n_name=df["c_nationkey"].map(n2name_))
-        g = df.groupby("n_name", sort=False).agg(rev_u=("rev_u", "sum")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+        sk, s_nat, s_asia, nk, n_names = ray.get(ref)
+        sidx = pc.index_in(t["l_suppkey"].combine_chunks(), value_set=sk)
+        same_nation = pc.equal(
+            pc.take(s_nat, sidx), t["c_nationkey"].combine_chunks()
+        )
+        keep = pc.fill_null(pc.and_(same_nation, pc.take(s_asia, sidx)), False)
+        t = t.filter(keep)
+        nidx = pc.index_in(t["c_nationkey"].combine_chunks(), value_set=nk)
+        t2 = pa.table(
+            {"n_name": pc.take(n_names, nidx), "rev_u": t["rev_u"].combine_chunks()}
+        )
+        g = t2.group_by(["n_name"], use_threads=False).aggregate([("rev_u", "sum")])
+        return g.rename_columns(["n_name", "rev_u"])
 
     partials = j2.map_batches(attach, batch_format="pyarrow", batch_size=65536)
     out = partials.repartition(4).groupby("n_name").aggregate(Sum("rev_u", alias_name="rev_u"))
@@ -542,19 +591,25 @@ def brand_volume(sf_dir: str):
     from ray.data.aggregate import Sum
 
     part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
-    p2b = part.set_index("p_partkey")["p_brand"]
-    ref = ray.put(p2b)
+    ref = ray.put(
+        (
+            pa.array(part["p_partkey"].to_numpy()),
+            pa.array(part["p_brand"].to_numpy(dtype=object), pa.string()),
+        )
+    )
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
 
     def partial(t: pa.Table) -> pa.Table:
-        p2b_ = ray.get(ref)
-        df = t.to_pandas()
-        df = df.assign(
-            p_brand=df["l_partkey"].map(p2b_),
-            qty=df["l_quantity"].to_numpy().astype("int64"),
+        keys, brands = ray.get(ref)
+        idx = pc.index_in(t["l_partkey"].combine_chunks(), value_set=keys)
+        t2 = pa.table(
+            {
+                "p_brand": pc.take(brands, idx),
+                "qty": t["l_quantity"].combine_chunks().cast(pa.int64()),
+            }
         )
-        g = df.groupby("p_brand", sort=False).agg(total_qty=("qty", "sum")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+        g = t2.group_by(["p_brand"], use_threads=False).aggregate([("qty", "sum")])
+        return g.rename_columns(["p_brand", "total_qty"])
 
     out = (
         li.map_batches(partial, batch_format="pyarrow", batch_size=65536)
