@@ -61,6 +61,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": R.events_hourly,
         "events_lag": R.events_lag,
         "events_running_sum": R.events_running_sum,
+        "events_sessions": R.events_sessions,
+        "events_last_error": R.events_last_error,
         "sample_docs": R.sample_docs,
         # crawl-engine operators over the interleaved corpus
         "corpus_links": C.corpus_links,
@@ -111,6 +113,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": R.events_hourly_sql(),
         "events_lag": R.events_lag_sql(),
         "events_running_sum": R.events_running_sum_sql(),
+        "events_sessions": R.events_sessions_sql(),
+        "events_last_error": R.events_last_error_sql(),
         "sample_docs": R.sample_docs_sql(),
         "corpus_links": C.corpus_links_sql(_SF_ORACLE),
         "span_profile": C.span_profile_sql(_SF_ORACLE),

@@ -629,3 +629,82 @@ def brand_volume_sql() -> str:
     JOIN part ON l_partkey = p_partkey
     GROUP BY p_brand
     """
+
+
+# --------------------------------------------------------------------------- #
+def events_sessions(sf_dir: str, gap_s: int = 1800):
+    """Gap-based sessionization — the stateful streaming window the reference
+    family lacks, built as the Ray Data idiom for keyed windows:
+    ``groupby(user).map_groups`` with a vectorized gap-cumsum per group.
+    session_id restarts at 0 per user; ordering key (ts, event_id) is
+    deterministic."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        us = g["ts"].astype("int64").to_numpy()
+        new = np.ones(len(g), dtype=np.int64)
+        new[1:] = (np.diff(us) > gap_s * 1_000_000).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "session_id": np.cumsum(new) - 1,
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
+def events_sessions_sql(gap_s: int = 1800) -> str:
+    return f"""
+    SELECT event_id, user_id,
+           CAST(SUM(CASE WHEN prev_ts IS NULL
+                         OR epoch_us(ts) - epoch_us(prev_ts) > {gap_s} * 1000000
+                    THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+    FROM (
+        SELECT event_id, user_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    )
+    """
+
+
+# --------------------------------------------------------------------------- #
+def events_last_error(sf_dir: str):
+    """As-of join (events ⨝asof events[type='error'] per user): for every
+    event, the timestamp of the same user's most recent error at-or-before
+    it. Ray Data has no native as-of join — composed as groupby(user) +
+    per-group ``pd.merge_asof`` (both sides of a user live in one group;
+    partitioning assumption: the as-of key ordering only matters WITHIN the
+    equality key, so a per-user group is self-contained)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        err = g.loc[g["event_type"] == "error", ["ts"]].rename(
+            columns={"ts": "last_error_ts"}
+        )
+        out = pd.merge_asof(
+            g[["event_id", "user_id", "ts"]],
+            err,
+            left_on="ts",
+            right_on="last_error_ts",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return out[["event_id", "user_id", "last_error_ts"]]
+
+    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+
+
+def events_last_error_sql() -> str:
+    return """
+    SELECT e.event_id, e.user_id, err.ts AS last_error_ts
+    FROM events e
+    ASOF LEFT JOIN (
+        SELECT user_id, ts FROM events WHERE event_type = 'error'
+    ) err ON e.user_id = err.user_id AND e.ts >= err.ts
+    """

@@ -32,6 +32,8 @@ SQL_CHECKED = [
     "ann_bruteforce",
     "events_lag",
     "events_running_sum",
+    "events_sessions",
+    "events_last_error",
     "sample_docs",
 ]
 
