@@ -183,7 +183,9 @@ class CrawlEngine:
             if row["status"] != 200:
                 continue  # no robots.txt in corpus → permissive
             lines = [sp["text"] for sp in row["spans"] if sp["kind"] == "text"]
-            self.policy.update(row["host"], RobotsPolicy.parse_robots_lines(lines))
+            self.policy.update(
+                row["host"], RobotsPolicy.parse_robots_lines(lines, self.agent)
+            )
 
     # ------------------------------------------------------------------ #
     def close(self):
@@ -570,10 +572,16 @@ class CrawlEngine:
                 [
                     pa.array(hosts, pa.string()),
                     pa.array(
-                        [list(self.policy.rules[h][0]) for h in hosts],
+                        [list(self.policy.rules[h].disallow) for h in hosts],
                         pa.list_(pa.string()),
                     ),
-                    pa.array([self.policy.rules[h][1] for h in hosts], pa.int64()),
+                    pa.array(
+                        [self.policy.rules[h].crawl_delay_ms for h in hosts], pa.int64()
+                    ),
+                    pa.array(
+                        [list(self.policy.rules[h].allow) for h in hosts],
+                        pa.list_(pa.string()),
+                    ),
                     pa.array([self.round] * len(hosts), pa.int32()),
                     pa.array([0] * len(hosts), pa.int64()),
                 ],
@@ -649,7 +657,12 @@ class CrawlEngine:
         hs = pq.read_table(os.path.join(ck, "host_state.parquet"))
         for row in hs.to_pylist():
             eng.policy.update(
-                row["host"], (tuple(row["robots_disallow"] or ()), int(row["crawl_delay_ms"]))
+                row["host"],
+                (
+                    tuple(row["robots_disallow"] or ()),
+                    int(row["crawl_delay_ms"]),
+                    tuple(row.get("robots_allow") or ()),
+                ),
             )
         eng._robots_loaded = True  # learned rules came from the checkpoint
         fdir = os.path.join(ck, "frontier")

@@ -85,6 +85,7 @@ HOST_STATE = pa.schema(
         ("host", pa.string()),
         ("robots_disallow", pa.list_(pa.string())),
         ("crawl_delay_ms", pa.int64()),
+        ("robots_allow", pa.list_(pa.string())),
         ("last_fetch_round", pa.int32()),
         ("fetched_total", pa.int64()),
     ]

@@ -45,7 +45,7 @@ def limited_hosts(cfg: CrawlConfig, policy: RobotsPolicy) -> set[str] | None:
         return None
     if not cfg.respect_robots_txt:
         return set()
-    return {h for h, (_, d) in policy.rules.items() if d > 0}
+    return {h for h, r in policy.rules.items() if r.crawl_delay_ms > 0}
 
 
 def quota_for(host: str, cfg: CrawlConfig, policy: RobotsPolicy) -> int | None:

@@ -1,27 +1,50 @@
 """robots.txt rules + per-host politeness (SURVEY.md S5/T2/T3; reference:
 `respect_robots_txt` + `delay` config at /root/reference/src/scanner/scan.rs:25-26,
-from proto/crawler.proto:21,26).
+from proto/crawler.proto:21,26 — spider evaluates full robots semantics via
+its robotparser dependency).
 
 The rules table is tiny (one row per host) so it is a broadcast small side
 (SURVEY J3): the driver reads it once, ``ray.put``s the policy, and gate
 stages look it up per batch — no shuffle.
 
-Rules model (FIXTURES.md §3): per host a list of disallowed path *prefixes*
+Rules model: RFC 9309 semantics over path *prefixes* — per host an
+``allow``/``disallow`` rule set evaluated by LONGEST MATCH (allow wins ties)
 plus an optional crawl-delay that overrides the job delay when larger.
+``parse_robots_lines`` understands ``User-agent`` groups: rules apply from
+the most specific group matching the crawl's agent (longest matching group
+token; ``*`` is the fallback; leading rules with no group belong to ``*``).
+The FIXTURES.md §3 tables carry disallow+delay only; allow/UA-group behavior
+is pinned by unit tests.
 """
 
 from __future__ import annotations
+
+from typing import NamedTuple
 
 import numpy as np
 import pyarrow as pa
 
 
+class RobotsRules(NamedTuple):
+    """Tuple-compatible ([0]=disallow, [1]=crawl_delay_ms) rule set."""
+
+    disallow: tuple = ()
+    crawl_delay_ms: int = 0
+    allow: tuple = ()
+
+
+def _as_rules(rules) -> RobotsRules:
+    if isinstance(rules, RobotsRules):
+        return rules
+    return RobotsRules(tuple(rules[0]), int(rules[1]), tuple(rules[2]) if len(rules) > 2 else ())
+
+
 class RobotsPolicy:
     """Parsed per-host robots rules with vectorized gate checks."""
 
-    def __init__(self, rules: dict[str, tuple[tuple[str, ...], int]]):
-        # host -> (disallow prefixes, crawl_delay_ms)
-        self.rules = rules
+    def __init__(self, rules: dict):
+        # host -> RobotsRules (plain (disallow, delay) tuples auto-upgrade)
+        self.rules = {h: _as_rules(r) for h, r in rules.items()}
 
     @classmethod
     def from_table(cls, table: pa.Table | None) -> "RobotsPolicy":
@@ -29,62 +52,113 @@ class RobotsPolicy:
             return cls({})
         rules = {}
         for row in table.to_pylist():
-            rules[row["host"].lower()] = (
+            rules[row["host"].lower()] = RobotsRules(
                 tuple(row["disallow"] or ()),
                 int(row["crawl_delay_ms"] or 0),
+                tuple(row.get("allow") or ()),
             )
         return cls(rules)
 
     @staticmethod
-    def parse_robots_lines(lines: list[str]) -> tuple[tuple[str, ...], int]:
-        """Parse robots.txt rule lines (the corpus robots.txt doc's text
-        spans) → (disallow prefixes, crawl_delay_ms). Recognises
-        ``Disallow: <prefix>`` and ``Crawl-delay: <ms>`` (unit is ms in this
-        corpus model); everything else is ignored."""
-        disallow: list[str] = []
-        delay = 0
+    def parse_robots_lines(lines: list[str], agent: str = "*") -> RobotsRules:
+        """Parse robots.txt rule lines → :class:`RobotsRules` for ``agent``.
+
+        RFC 9309 group selection: consecutive ``User-agent`` lines open a
+        group; the group whose token is the longest prefix of the agent's
+        product token wins, ``*`` is the fallback. Rules before any
+        ``User-agent`` line belong to the ``*`` group (the corpus robots.txt
+        docs are written groupless). Delay unit is ms in this corpus model."""
+        product = agent.split("/")[0].strip().lower()
+        groups: dict[str, RobotsRules] = {}
+        cur_tokens = ["*"]
+        in_ua_run = False
+
+        def add(tok, **kw):
+            g = groups.get(tok, RobotsRules())
+            groups[tok] = RobotsRules(
+                g.disallow + kw.get("disallow", ()),
+                max(g.crawl_delay_ms, kw.get("delay", 0)),
+                g.allow + kw.get("allow", ()),
+            )
+
         for line in lines:
-            key, _, val = line.partition(":")
+            line = line.split("#", 1)[0]
+            key, sep, val = line.partition(":")
+            if not sep:
+                continue
             key = key.strip().lower()
             val = val.strip()
+            if key == "user-agent":
+                tok = val.lower()
+                if in_ua_run:
+                    cur_tokens.append(tok)
+                else:
+                    cur_tokens = [tok]
+                in_ua_run = True
+                for t in cur_tokens:
+                    groups.setdefault(t, RobotsRules())
+                continue
+            in_ua_run = False
             if key == "disallow" and val:
-                disallow.append(val)
+                for t in cur_tokens:
+                    add(t, disallow=(val,))
+            elif key == "allow" and val:
+                for t in cur_tokens:
+                    add(t, allow=(val,))
             elif key == "crawl-delay" and val:
                 try:
-                    delay = max(delay, int(float(val)))
+                    d = int(float(val))
                 except ValueError:
-                    pass
-        return tuple(disallow), delay
+                    continue
+                for t in cur_tokens:
+                    add(t, delay=d)
 
-    def update(self, host: str, rules: tuple[tuple[str, ...], int]) -> None:
-        self.rules[host.lower()] = rules
+        best = None
+        for tok in groups:
+            if tok != "*" and product.startswith(tok):
+                if best is None or len(tok) > len(best):
+                    best = tok
+        return groups.get(best if best is not None else "*", RobotsRules())
+
+    def update(self, host: str, rules) -> None:
+        self.rules[host.lower()] = _as_rules(rules)
 
     def allowed(self, hosts: list[str] | np.ndarray, paths: list[str] | np.ndarray) -> np.ndarray:
         """Bool mask: True where host robots rules allow the path.
 
-        Vectorized per distinct host in the batch (few hosts per batch; each
-        check is a numpy startswith over the host's rows)."""
+        Longest-match evaluation (RFC 9309): the longest allow/disallow rule
+        matching the path decides; allow wins length ties; no match ⇒
+        allowed. Vectorized per distinct host in the batch (few hosts per
+        batch; each rule is one numpy startswith over the host's rows)."""
         hosts = np.asarray(hosts, dtype=object)
         paths = np.asarray(paths, dtype=object)
         out = np.ones(len(hosts), dtype=bool)
         if not self.rules:
             return out
         for host in np.unique(hosts):
-            prefixes = self.rules.get(host, ((), 0))[0]
-            if not prefixes:
+            r = self.rules.get(host)
+            if r is None or (not r.disallow and not r.allow):
                 continue
             idx = np.flatnonzero(hosts == host)
             hp = paths[idx].astype(str)
-            bad = np.zeros(len(idx), dtype=bool)
-            for p in prefixes:
-                bad |= np.char.startswith(hp, p)
-            out[idx[bad]] = False
+            best_len = np.full(len(idx), -1, dtype=np.int64)
+            best_allow = np.ones(len(idx), dtype=bool)  # no match ⇒ allowed
+            # evaluate disallow before allow at equal length so >= lets
+            # allow win ties (RFC: least restrictive on specificity tie)
+            for is_allow, rule_set in ((False, r.disallow), (True, r.allow)):
+                for p in rule_set:
+                    m = np.char.startswith(hp, p)
+                    upd = m & (len(p) >= best_len)
+                    best_len[upd] = len(p)
+                    best_allow[upd] = is_allow
+            out[idx[~best_allow]] = False
         return out
 
     def effective_delay_ms(self, host: str, base_delay_ms: int) -> int:
         """Job delay, overridden by robots crawl-delay when larger
         (FIXTURES.md §3)."""
-        return max(base_delay_ms, self.rules.get(host, ((), 0))[1])
+        r = self.rules.get(host)
+        return max(base_delay_ms, r.crawl_delay_ms if r else 0)
 
 
 def plan_quotas(
@@ -98,8 +172,8 @@ def plan_quotas(
 
     A round models a ``round_ms`` wall-clock politeness window: a host with
     effective delay d ms admits ``max(1, round_ms // d)`` fetches per round;
-    delay 0 ⇒ unlimited (None). Quotas are computed per-host-globally BEFORE
-    any hot-host salting (SURVEY §7.4 hard-part 4)."""
+    delay 0 ⇒ unlimited (None). Quotas are computed per-host-globally (SURVEY
+    §7.4 hard-part 4)."""
     quotas: dict[str, int | None] = {}
     for host, n in host_counts.items():
         d = policy.effective_delay_ms(host, base_delay_ms) if respect_robots else base_delay_ms

@@ -123,3 +123,54 @@ def test_tld_scope_psl():
     # while other.co.uk (different registrable name) is not
     mask = urlnorm.in_scope(dsts, "shop.example.co.uk", tld=True).to_pylist()
     assert mask == [True, True, False, True]
+
+
+# ------------------------- robots RFC 9309 semantics ----------------------- #
+
+def test_robots_allow_longest_match():
+    import numpy as np
+
+    from crawler_ray.state.robots import RobotsPolicy, RobotsRules
+
+    pol = RobotsPolicy(
+        {"h.test": RobotsRules(disallow=("/private",), allow=("/private/ok",))}
+    )
+    hosts = np.array(["h.test"] * 4, dtype=object)
+    paths = np.array(
+        ["/private/x", "/private/ok/page", "/public", "/private"], dtype=object
+    )
+    assert pol.allowed(hosts, paths).tolist() == [False, True, True, False]
+    # tie on length: allow wins (RFC 9309 least-restrictive)
+    pol2 = RobotsPolicy({"h.test": RobotsRules(disallow=("/p",), allow=("/p",))})
+    assert pol2.allowed(["h.test"], ["/page"]).tolist() == [True]
+
+
+def test_robots_user_agent_groups():
+    from crawler_ray.state.robots import RobotsPolicy
+
+    lines = [
+        "User-agent: *",
+        "Disallow: /all",
+        "Crawl-delay: 100",
+        "",
+        "User-agent: crawler_ray",
+        "User-agent: otherbot",
+        "Disallow: /mine",
+        "Allow: /mine/ok",
+        "Crawl-delay: 700",
+    ]
+    mine = RobotsPolicy.parse_robots_lines(lines, agent="crawler_ray/0.1")
+    assert mine.disallow == ("/mine",)
+    assert mine.allow == ("/mine/ok",)
+    assert mine.crawl_delay_ms == 700
+    other = RobotsPolicy.parse_robots_lines(lines, agent="somebody/2.0")
+    assert other.disallow == ("/all",)
+    assert other.crawl_delay_ms == 100
+    # groupless lines (the corpus robots.txt model) belong to '*'
+    plain = RobotsPolicy.parse_robots_lines(
+        ["Disallow: /page-000", "Crawl-delay: 2000"], agent="crawler_ray/0.1"
+    )
+    assert plain.disallow == ("/page-000",)
+    assert plain.crawl_delay_ms == 2000
+    # comments stripped
+    assert RobotsPolicy.parse_robots_lines(["Disallow: /x # why"]).disallow == ("/x",)
