@@ -258,3 +258,49 @@ def test_post_fetch_stage_registry(ray_session, tmp_path, fixtures):
             t = pq.read_table(f)
             assert "n_spans" in t.column_names
             assert t["n_spans"].to_pylist() == [len(s) for s in t["spans"].to_pylist()]
+
+
+def test_nested_sitemap_index(ray_session, tmp_path):
+    """S4: a sitemap INDEX (sitemap.xml linking sub-sitemaps linking pages)
+    resolves through the normal BFS — nested indexes reach every page;
+    engine ≡ oracle on visited set and depths."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray import schemas
+    from crawler_ray.engine import run_crawl
+    from crawler_ray.oracle import corpus_as_dict
+
+    h = "n.test"
+
+    def doc(doc_id, links):
+        return {
+            "doc_id": doc_id,
+            "spans": [
+                {"kind": "link", "text": l, "media_ref": "", "offset": i}
+                for i, l in enumerate(links)
+            ],
+        }
+
+    rows = [
+        doc(f"https://{h}/", []),  # landing page links nothing: only the
+        # sitemap index reaches the content pages
+        doc(f"https://{h}/sitemap.xml", [f"https://{h}/sitemap-0.xml", f"https://{h}/sitemap-1.xml"]),
+        doc(f"https://{h}/sitemap-0.xml", [f"https://{h}/a", f"https://{h}/b"]),
+        doc(f"https://{h}/sitemap-1.xml", [f"https://{h}/c"]),
+        doc(f"https://{h}/a", [f"https://{h}/d"]),
+        doc(f"https://{h}/b", []),
+        doc(f"https://{h}/c", []),
+        doc(f"https://{h}/d", []),
+    ]
+    corpus = pa.Table.from_pylist(rows, schema=schemas.CORPUS)
+    cp = str(tmp_path / "c.parquet")
+    pq.write_table(corpus, cp)
+    cfg = CrawlConfig(url=f"https://{h}/", sitemap=True, respect_robots_txt=False)
+    res = run_crawl(cp, cfg, None)
+    o = oracle_crawl(corpus_as_dict(corpus), cfg, {})
+    assert set(res.visited) == o.visited
+    assert f"https://{h}/d" in o.visited  # reached only via the nested index
+    got = {u: d for u, d in o.waves.items()}
+    assert got[f"https://{h}/sitemap-0.xml"] == 1
+    assert got[f"https://{h}/a"] == 2 and got[f"https://{h}/d"] == 3
