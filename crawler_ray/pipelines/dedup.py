@@ -115,7 +115,11 @@ def minhash_signatures_batch(df: pd.DataFrame) -> pa.Table:
     return pa.table(
         {
             "doc_id": pa.array(df["doc_id"].to_numpy()),
-            "sig": pa.array(list(sig), pa.list_(pa.uint64(), _N_HASH)),
+            # zero-copy fixed-size-list build from the flat signature matrix
+            # (a per-row list(sig) conversion costs a Python loop)
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(sig.reshape(-1)), _N_HASH
+            ),
         }
     )
 
