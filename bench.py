@@ -269,7 +269,7 @@ def dedup_microbench(n: int = 4_000_000, shards: int = 16) -> dict:
     import ray
     import ray.data as rd
 
-    from crawler_ray.state.seen import SeenShard, route_hash
+    from crawler_ray.state.seen import SeenShard, fold_urls, stable_hash64
 
     RSeen = ray.remote(SeenShard)
     actors = [
@@ -280,11 +280,16 @@ def dedup_microbench(n: int = 4_000_000, shards: int = 16) -> dict:
     def route(batch: pa.Table) -> pa.Table:
         ids = batch["id"].combine_chunks().to_numpy()
         urls = np.char.add("https://bench.test/p", ids.astype("U9")).astype(object)
-        shard = (route_hash(urls) % shards).astype(np.int64)
+        keys = fold_urls(urls)  # fold once; shard + membership share it
+        shard = (stable_hash64(keys) % shards).astype(np.int64)
         refs = []
         for s in np.unique(shard):
             pos = np.flatnonzero(shard == s)
-            refs.append(actors[int(s)].check_and_add.remote([urls[i] for i in pos]))
+            refs.append(
+                actors[int(s)].check_and_add.remote(
+                    [urls[i] for i in pos], [keys[i] for i in pos]
+                )
+            )
         novel = sum(int(m.sum()) for m in ray.get(refs))
         return pa.table({"novel": pa.array([novel], pa.int64())})
 

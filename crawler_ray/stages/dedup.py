@@ -19,7 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..state.seen import route_hash
+from ..state.seen import fold_urls, stable_hash64
 
 _MAX_MSG = 262_144  # cap rows per actor message (bounds serialization spikes)
 
@@ -33,7 +33,8 @@ def make_claim_fn(handles: list, n_shards: int):
             return pa.table({"claimed": pa.array([0], pa.int64())})
         urls = batch.column("dst").combine_chunks().to_numpy(zero_copy_only=False)
         packs = batch.column("pack").combine_chunks().to_numpy(zero_copy_only=False)
-        shard = (route_hash(urls) % n_shards).astype(np.int64)
+        keys = fold_urls(urls)  # fold ONCE: routing hash + shard membership
+        shard = (stable_hash64(keys) % n_shards).astype(np.int64)
         refs = []
         for s in np.unique(shard):
             pos = np.flatnonzero(shard == s)
@@ -41,7 +42,9 @@ def make_claim_fn(handles: list, n_shards: int):
                 chunk = pos[i : i + _MAX_MSG]
                 refs.append(
                     handles[int(s)].claim.remote(
-                        [urls[j] for j in chunk], [packs[j] for j in chunk]
+                        [urls[j] for j in chunk],
+                        [packs[j] for j in chunk],
+                        [keys[j] for j in chunk],
                     )
                 )
         ray.get(refs)

@@ -175,13 +175,15 @@ class SeenShard:
             new.add_hashes(stable_hash64(urls))
         self.filter = new
 
-    def check_and_add(self, urls: list[str]) -> np.ndarray:
+    def check_and_add(self, urls: list[str], keys=None) -> np.ndarray:
         """Returns bool mask: True where the URL was NOT seen before (and is
         now marked seen). URLs must be unique (after case folding) within the
-        call."""
+        call. ``keys``: pre-folded membership keys (routers already fold for
+        the shard hash — passing them avoids a second fold pass)."""
         if not urls:
             return np.zeros(0, dtype=bool)
-        keys = fold_urls(urls)
+        if keys is None:
+            keys = fold_urls(urls)
         h = stable_hash64(keys)
         maybe_seen = self.filter.contains_hashes(h)
         if self.exact is not None:
@@ -216,7 +218,7 @@ class SeenShard:
         return self.filter.contains_hashes(stable_hash64(keys))
 
     # -- per-round claim/harvest (removes the per-round groupby shuffle) ----
-    def claim(self, urls: list[str], packs: list[str]) -> int:
+    def claim(self, urls: list[str], packs: list[str], keys=None) -> int:
         """Register candidate URLs discovered this round with their packed
         (depth|parent) keys. Duplicate claims (including case variants of one
         folded key) keep the lexicographic-min (pack, url) tuple, so the
@@ -224,7 +226,8 @@ class SeenShard:
         per-round unique+argmin that a groupby('url').Min(pack) would
         compute, held where the seen state already lives."""
         pend = self.pending
-        keys = fold_urls(urls)
+        if keys is None:
+            keys = fold_urls(urls)
         if self.exact is not None:
             seen_mask = (k in self.exact for k in keys)
         else:
