@@ -21,18 +21,27 @@ def _read_docs(sf_dir: str, columns=None):
 
 
 # --------------------------------------------------------------------------- #
+# BPE-ish tokenizer pattern: letter runs, single digits, single
+# punctuation/symbol chars — the GPT-2-style pre-tokenization shape.
+# Whitespace spelled as an explicit ASCII class so Python re and DuckDB RE2
+# count identically on non-ASCII text.
+_PIECE_RX = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r\f\v]"
+
+
 def token_stats(sf_dir: str):
-    """Whitespace token count + char count per document (vectorized pandas
-    str kernels). Oracle-checked against DuckDB string functions."""
+    """Whitespace token count, BPE-ish piece count, and char count per
+    document (vectorized pandas str kernels). Oracle-checked against DuckDB
+    string/regex functions with the SAME piece pattern."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        stripped = df["text"].fillna("").str.strip()
-        toks = stripped.str.split()  # runs of whitespace; '' → []
+        text = df["text"].fillna("")
+        toks = text.str.strip().str.split()  # runs of whitespace; '' → []
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
                 "n_tokens": toks.str.len().astype("int64"),
-                "n_chars_actual": df["text"].fillna("").str.len().astype("int64"),
+                "n_pieces": text.str.count(_PIECE_RX).astype("int64"),
+                "n_chars_actual": text.str.len().astype("int64"),
             }
         )
 
@@ -42,10 +51,11 @@ def token_stats(sf_dir: str):
 
 
 def token_stats_sql() -> str:
-    return """
+    return f"""
     SELECT doc_id,
            CASE WHEN TRIM(text) = '' THEN 0
                 ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) END AS n_tokens,
+           LEN(regexp_extract_all(text, '{_PIECE_RX}')) AS n_pieces,
            LEN(text) AS n_chars_actual
     FROM documents
     """
