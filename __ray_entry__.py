@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_bruteforce": S.ann_bruteforce,
         "ann_lsh": S.ann_lsh,
+        "ann_ivf": S.ann_ivf,
         # multimodal plumbing
         "media_manifest": M.media_manifest,
         "media_features": M.media_features,

@@ -157,3 +157,84 @@ def ann_lsh(sf_dir: str, n_queries: int = 5, k: int = 10, n_planes: int = 8):
         return g[["qid", "vec_id", "rank", "score"]]
 
     return cands.groupby("qid").map_groups(final_topk, batch_format="pandas")
+
+
+def _kmeans(sample: np.ndarray, n_centroids: int, iters: int = 8, seed: int = 7) -> np.ndarray:
+    """Tiny deterministic Lloyd's k-means on a normalized sample (the coarse
+    quantizer trainer — runs on the driver over a bounded sample, as IVF
+    training does at any scale)."""
+    rng = np.random.default_rng(seed)
+    cents = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ cents.T, axis=1)  # cosine on unit vectors
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                v = sample[m].mean(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cents
+
+
+def ann_ivf(
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 4096,
+):
+    """IVF approximate top-k — the inverted-file scale path: a coarse
+    quantizer (k-means centroids trained on a bounded sample) partitions the
+    vectors; each query scores only rows assigned to its ``n_probe`` nearest
+    centroids (~n_probe/n_centroids of the corpus touched per query). At
+    10^10 rows the assignment becomes the partitioning key of the stored
+    table so probes prune whole files; the per-batch kernel is unchanged."""
+    import duckdb
+    import ray
+
+    qids, qm = _query_matrix(sf_dir, n_queries)
+    # bounded training sample (deterministic: lowest vec_ids)
+    s = duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{os.path.join(sf_dir, 'embeddings.parquet')}') "
+        f"ORDER BY vec_id LIMIT {train_sample}"
+    ).arrow()
+    sample = _normalize(
+        np.asarray(s["embedding"].combine_chunks().values, dtype=np.float64).reshape(len(s), -1)
+    )
+    cents = _kmeans(sample, n_centroids)
+    # per query: the n_probe nearest centroid ids
+    probe = np.argsort(-(qm @ cents.T), axis=1)[:, :n_probe]
+    ref = ray.put((qids, qm, cents, probe))
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        qids_, qm_, cents_, probe_ = ray.get(ref)
+        x = _normalize(_as_matrix(t))
+        ids = t["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        assign = np.argmax(x @ cents_.T, axis=1)
+        rows = {"qid": [], "vec_id": [], "score": []}
+        for qi in range(len(qids_)):
+            mask = np.isin(assign, probe_[qi])
+            if not mask.any():
+                continue
+            sc = qm_[qi] @ x[mask].T
+            kk = min(k, sc.shape[0])
+            top = np.argpartition(-sc, kk - 1)[:kk]
+            rows["qid"].extend([qids_[qi]] * kk)
+            rows["vec_id"].extend(ids[mask][top])
+            rows["score"].extend(round_np(sc[top], 6))
+        return pa.table(
+            {
+                "qid": pa.array(rows["qid"], pa.int64()),
+                "vec_id": pa.array(rows["vec_id"], pa.int64()),
+                "score": pa.array(rows["score"], pa.float64()),
+            }
+        )
+
+    cands = _read_emb(sf_dir).map_batches(score_batch, batch_format="pyarrow", batch_size=8192)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[["qid", "vec_id", "rank", "score"]]
+
+    return cands.groupby("qid").map_groups(final_topk, batch_format="pandas")

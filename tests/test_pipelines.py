@@ -171,18 +171,21 @@ def test_embedding_dup_pairs_finds_planted(ray_session, tmp_path):
     assert pairs.loc[(pairs["a"] == 0) & (pairs["b"] == 1), "cosine"].iloc[0] == 1.0
 
 
-def test_ann_lsh_recall(ray_session):
-    from crawler_ray.pipelines.similarity import ann_bruteforce, ann_lsh
+@pytest.mark.parametrize("variant", ["lsh", "ivf"])
+def test_ann_approx_recall(ray_session, variant):
+    from crawler_ray.pipelines.similarity import ann_bruteforce, ann_ivf, ann_lsh
 
     exact = to_df(ann_bruteforce(SF, n_queries=3, k=5))
-    approx = to_df(ann_lsh(SF, n_queries=3, k=5))
+    fn = ann_lsh if variant == "lsh" else ann_ivf
+    approx = to_df(fn(SF, n_queries=3, k=5))
     recall = []
     for qid in exact["qid"].unique():
         e = set(exact.loc[exact["qid"] == qid, "vec_id"])
         a = set(approx.loc[approx["qid"] == qid, "vec_id"])
         recall.append(len(e & a) / len(e))
     assert np.mean(recall) >= 0.2  # approximate by design; must be nonzero
-    # self-match must always be found (it shares the query's bucket)
+    # self-match must always be found (it lands in the query's own
+    # bucket/centroid cell, which is always probed)
     for qid in exact["qid"].unique():
         assert qid in set(approx.loc[approx["qid"] == qid, "vec_id"])
 
