@@ -117,11 +117,15 @@ class CrawlEngine:
         # note: ShuffleStrategy.HASH_SHUFFLE looked faster on an isolated
         # groupby microbench but regressed the full round pipeline ~20×
         # (aggregator schema churn) — keep the default sort shuffle.
+        # SeenShard: max_restarts=0 — a restarted shard would silently lose
+        # the seen set; recovery is checkpoint-based resume (SURVEY §4
+        # retries row). CorpusShard: stateless after __init__ (reloads its
+        # hash-slice from storage), so restarts + task retries are safe.
         RSeen = ray.remote(SeenShard)
         self.seen = [
             RSeen.remote(i, cfg.seen_capacity) for i in range(cfg.n_seen_shards)
         ]
-        RCorpus = ray.remote(CorpusShard)
+        RCorpus = ray.remote(max_restarts=2, max_task_retries=2)(CorpusShard)
         self.corpus = [
             RCorpus.remote(corpus_parquet, i, cfg.n_corpus_shards)
             for i in range(cfg.n_corpus_shards)

@@ -93,3 +93,33 @@ def test_resume_discards_uncommitted_results(fx, ray_session, tmp_path):
     eng2.close()
     got = _fetched_urls_by_round(out)
     assert all(len(v) == 1 for v in got.values())
+
+
+def test_corpus_shard_restart_mid_crawl(ray_session, tmp_path):
+    """CorpusShard actors are restartable (read-only state reloaded in
+    __init__): killing one mid-crawl must not change the crawl result
+    (SURVEY §4 retries row)."""
+    import ray
+
+    import pyarrow.parquet as pq
+
+    from crawler_ray.config import CrawlConfig
+    from crawler_ray.engine import CrawlEngine, run_crawl
+    from crawler_ray.synth import CorpusSpec, corpus_path, robots_path
+
+    spec = CorpusSpec(n_hosts=3, pages_per_host=20)
+    cp = corpus_path(spec)
+    robots = pq.read_table(robots_path(spec))
+    cfg = CrawlConfig(url=f"https://{spec.host(0)}/", sitemap=True)
+
+    want = run_crawl(cp, cfg, robots)
+
+    eng = CrawlEngine(cp, cfg, robots)
+    try:
+        ray.get([c.num_docs.remote() for c in eng.corpus])
+        ray.kill(eng.corpus[0], no_restart=False)  # crash one shard
+        res = eng.run(mode="crawl")
+        assert set(res.visited) == set(want.visited)
+        assert res.pages_fetched == want.pages_fetched
+    finally:
+        eng.close()
