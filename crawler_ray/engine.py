@@ -417,6 +417,17 @@ class CrawlEngine:
         n_pages = fetched.count()
         self.pages_fetched += n_pages
         self._lineage("fetch", n_sel, n_pages, (time.time() - t0) * 1000)
+        # per-PARTITION lineage (north rule: every partition emits records):
+        # one cheap pass over the materialized blocks; rows ≤ block count
+        part_stats = fetched.map_batches(
+            lambda t: pa.table(
+                {"rows": pa.array([len(t)], pa.int64()), "bytes": pa.array([t.nbytes], pa.int64())}
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        ).take_all()
+        for i, pr in enumerate(part_stats):
+            self._lineage(f"fetch/partition={i}", int(pr["rows"]), int(pr["rows"]), 0, uri=f"bytes={int(pr['bytes'])}")
 
         if out_dir and n_pages:
             t0 = time.time()

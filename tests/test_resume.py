@@ -123,3 +123,31 @@ def test_corpus_shard_restart_mid_crawl(ray_session, tmp_path):
         assert res.pages_fetched == want.pages_fetched
     finally:
         eng.close()
+
+
+def test_partition_lineage_emitted(ray_session, tmp_path):
+    """Distributed rounds record one lineage row per fetched partition
+    (north rule: per-partition lineage + metrics)."""
+    import pyarrow.parquet as pq
+
+    from crawler_ray.config import CrawlConfig
+    from crawler_ray.engine import run_crawl
+    from crawler_ray.synth import CorpusSpec, corpus_path, robots_path
+
+    spec = CorpusSpec(n_hosts=2, pages_per_host=30)
+    cp = corpus_path(spec)
+    robots = pq.read_table(robots_path(spec))
+    cfg = CrawlConfig(
+        url=f"https://{spec.host(0)}/", sitemap=True, small_round_threshold=0
+    )
+    res = run_crawl(cp, cfg, robots)
+    stages = res.lineage.column("stage").to_pylist()
+    rows_out = res.lineage.column("rows_out").to_pylist()
+    part_rows = [
+        r for s, r in zip(stages, rows_out) if s.startswith("fetch/partition=")
+    ]
+    assert part_rows, stages
+    # per-partition rows sum to the per-round fetch totals (rounds are
+    # disambiguated by the lineage `round` column)
+    fetch_total = sum(r for s, r in zip(stages, rows_out) if s == "fetch")
+    assert sum(part_rows) == fetch_total == res.pages_fetched
