@@ -380,12 +380,38 @@ class CrawlEngine:
             if remaining <= 0:
                 return None, frontier, True
             if n_sel > remaining:
+                # split at the budget boundary VALUE, not by membership list:
+                # frontier urls are unique, so (depth, url) strictly orders
+                # rows and an O(1) boundary broadcast replaces shipping every
+                # kept url to every task (scale: budget can be millions)
                 ordered = selected.sort(["depth", "url"]).materialize()
                 head = ordered.limit(remaining).materialize()
-                head_urls = sorted(head.to_pandas()["url"])  # bounded by budget
+                block_max = head.map_batches(
+                    lambda t: pa.table(
+                        {
+                            "depth": [t["depth"][int(np.lexsort((
+                                t["url"].to_numpy(zero_copy_only=False),
+                                t["depth"].to_numpy(zero_copy_only=False),
+                            ))[-1])].as_py()],
+                            "url": [t["url"][int(np.lexsort((
+                                t["url"].to_numpy(zero_copy_only=False),
+                                t["depth"].to_numpy(zero_copy_only=False),
+                            ))[-1])].as_py()],
+                        }
+                    ),
+                    batch_format="pyarrow",
+                    batch_size=None,
+                ).take_all()
+                bd, bu = max((r["depth"], r["url"]) for r in block_max)
                 rest = ordered.map_batches(
-                    lambda t, hu=head_urls: t.filter(
-                        pc.invert(pc.is_in(t["url"], pa.array(hu)))
+                    lambda t: t.filter(
+                        pc.or_(
+                            pc.greater(t["depth"], pa.scalar(bd, pa.int32())),
+                            pc.and_(
+                                pc.equal(t["depth"], pa.scalar(bd, pa.int32())),
+                                pc.greater(t["url"], pa.scalar(bu)),
+                            ),
+                        )
                     ),
                     batch_format="pyarrow",
                 )

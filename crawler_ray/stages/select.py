@@ -143,6 +143,13 @@ def select_frontier(frontier, cfg: CrawlConfig, policy: RobotsPolicy):
     cand = split(marked, lambda t: pc.and_(t["sel"], pc.invert(t["fin"]))).materialize()
     deferred_parts = [split(marked, lambda t: pc.invert(t["sel"]))]
 
+    # single-block frontier: the per-block top-q IS the global top-q — skip
+    # the tree reduce (saves ~2 sequential Ray ops per politeness round)
+    if marked.num_blocks() <= 1:
+        deferred = deferred_parts[0].materialize()
+        selected = (unlimited.union(cand) if lim is not None else cand).materialize()
+        return selected, (deferred if deferred.count() else None)
+
     # stage B: tree-reduce stage-A survivors to the exact global top-q
     n_cand = cand.count()
     if n_cand == 0:

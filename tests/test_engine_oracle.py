@@ -82,8 +82,12 @@ def test_small_path_matches_oracle(kw, fixtures, ray_session, tmp_path):
     [
         dict(url="https://site-0000.test/"),
         dict(url="https://site-0000.test/", max_depth=3, sitemap=True),
+        dict(url="https://site-0000.test/", max_pages=20),
+        # quota 16/round → ~4 politeness rounds: same selection code path,
+        # bounded latency (each distributed round costs fixed Ray op latency)
+        dict(url="https://site-0000.test/", delay_ms=300, round_ms=5000),
     ],
-    ids=["plain", "depth-sitemap"],
+    ids=["plain", "depth-sitemap", "budget", "politeness"],
 )
 def test_distributed_path_matches_oracle(kw, fixtures, ray_session, tmp_path):
     """Force every round through the distributed Ray Data pipeline."""

@@ -42,16 +42,20 @@ def _mixed_frontier():
     return _frontier(rows)
 
 
-@pytest.mark.parametrize("delay_ms,salt", [(100, 1), (100, 8), (250, 4)])
-def test_distributed_selection_equals_small(ray_session, delay_ms, salt):
+@pytest.mark.parametrize(
+    "delay_ms,blocks", [(100, 1), (100, 8), (250, 4)]
+)
+def test_distributed_selection_equals_small(ray_session, delay_ms, blocks):
+    """blocks=1 exercises the single-block shortcut; >1 the combiner + tree
+    reduce — both must equal the driver-side kernel exactly."""
     import ray.data as rd
 
-    cfg = CrawlConfig(delay_ms=delay_ms, round_ms=1000, salt_buckets=salt)
+    cfg = CrawlConfig(delay_ms=delay_ms, round_ms=1000)
     policy = RobotsPolicy({"hot.test": ((), 400)})  # robots delay on the hot host
     tab = _mixed_frontier()
 
     sel_s, def_s = select_small(tab, cfg, policy)
-    ds = rd.from_arrow(tab).materialize()
+    ds = rd.from_arrow(tab).repartition(blocks).materialize()
     sel_d, def_d = select_frontier(ds, cfg, policy)
 
     def key_set(x):
