@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "token_stats": T.token_stats,
         "fingerprints": T.fingerprints,
+        "winnow_fingerprints": T.winnow_fingerprints,
         "lang_id": T.lang_id,
         "quality": T.quality,
         # deduplication family

@@ -190,3 +190,56 @@ def quality(sf_dir: str):
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         QualityScore, batch_format="pandas", batch_size=4096, concurrency=2
     )
+
+
+# --------------------------------------------------------------------------- #
+def winnow_fingerprints(sf_dir: str, k: int = 5, window: int = 4):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken '03): k-gram
+    rolling hashes → per-window minimum, rightmost-min tie-break — the
+    guarantee is every shared substring of length ≥ k+window-1 yields at
+    least one shared fingerprint. Vectorized: sliding-window minimum via
+    np.minimum.reduceat-free stride trick per doc batch; output one row per
+    selected (doc_id, fingerprint, pos). Rows-only for the driver (selection
+    positions are not SQL-expressible); pytest pins overlap detection on
+    planted shared passages."""
+    import pyarrow as pa
+
+    from ..state.seen import stable_hash64
+
+    def fn(df: pd.DataFrame) -> pa.Table:
+        out_doc, out_fp, out_pos = [], [], []
+        toks = df["text"].fillna("").str.lower().str.split()
+        for doc, ts in zip(df["doc_id"].to_numpy(), toks):
+            if len(ts) < k:
+                continue
+            grams = np.array(
+                [" ".join(ts[i : i + k]) for i in range(len(ts) - k + 1)],
+                dtype=object,
+            )
+            h = stable_hash64(grams)
+            n = len(h)
+            if n < window:
+                sel = {int(np.flatnonzero(h == h.min())[-1])}
+            else:
+                sw = np.lib.stride_tricks.sliding_window_view(h, window)
+                mins = sw.min(axis=1)
+                sel = set()
+                for w0 in range(sw.shape[0]):
+                    # rightmost position of the window minimum (robust
+                    # winnowing tie-break)
+                    sel.add(w0 + int(np.flatnonzero(sw[w0] == mins[w0])[-1]))
+            for p in sorted(sel):
+                out_doc.append(doc)
+                out_fp.append(int(h[p]))
+                out_pos.append(p)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc),
+                "fingerprint": pa.array(np.array(out_fp, dtype=np.uint64).view(np.int64)),
+                "pos": pa.array(out_pos, pa.int64()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas", batch_size=4096
+    )

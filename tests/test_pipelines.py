@@ -307,3 +307,30 @@ def test_run_jobs_parallel_matches_sequential(ray_session, tmp_path):
     par = run_jobs(cp, jobs, robots, parallel=True)
     assert [set(r.visited) for r in seq] == [set(r.visited) for r in par]
     assert [r.pages_fetched for r in seq] == [r.pages_fetched for r in par]
+
+
+def test_winnowing_shared_passage(ray_session, tmp_path):
+    """Winnowing guarantee: documents sharing a passage of ≥ k+window-1
+    tokens share at least one fingerprint; disjoint docs share none."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = {
+        "doc_id": [0, 1, 2],
+        "text": [
+            "intro words here " + shared + " tail one",
+            "completely other opening " + shared + " different ending",
+            "nothing in common with those documents at all whatsoever",
+        ],
+    }
+    d = tmp_path / "win"
+    d.mkdir()
+    pq.write_table(pa.table(rows), str(d / "documents.parquet"))
+    fp = to_df(winnow_fingerprints(str(d), k=5, window=4))
+    by_doc = fp.groupby("doc_id")["fingerprint"].apply(set)
+    assert by_doc[0] & by_doc[1], "shared passage must share a fingerprint"
+    assert not (by_doc[0] & by_doc[2])
+    assert not (by_doc[1] & by_doc[2])
