@@ -70,3 +70,45 @@ def test_seen_shard_snapshot_restore_via_readd():
     t.check_and_add(snap["urls"])
     assert t.check_and_add(_urls(500)).sum() == 0  # everything already seen
     assert t.size() == 500
+
+
+def test_claim_order_invariance():
+    """harvest output is independent of claim arrival order (the per-round
+    argmin lives on the shard; message order must not matter)."""
+    import numpy as np
+
+    from crawler_ray.state.seen import SeenShard
+
+    claims = [
+        ("https://h.test/a", "0000000002|https://h.test/x"),
+        ("https://h.test/a", "0000000001|https://h.test/y"),
+        ("https://h.test/B", "0000000001|https://h.test/x"),
+        ("https://h.test/b", "0000000001|https://h.test/a"),  # case variant of B
+        ("https://h.test/c", "0000000003|https://h.test/z"),
+    ]
+    outs = []
+    for seed in range(4):
+        rng = np.random.default_rng(seed)
+        s = SeenShard(0, capacity=1 << 10)
+        order = rng.permutation(len(claims))
+        for i in order:
+            u, p = claims[i]
+            s.claim([u], [p])
+        outs.append(s.harvest("c", 1).to_pylist())
+    assert all(o == outs[0] for o in outs[1:])
+    # the case-variant pair collapsed to ONE row with the min (pack, url)
+    urls = [r["url"] for r in outs[0]]
+    assert len([u for u in urls if u.lower() == "https://h.test/b"]) == 1
+
+
+def test_check_and_add_case_insensitive():
+    from crawler_ray.state.seen import SeenShard
+
+    s = SeenShard(0, capacity=1 << 10)
+    first = s.check_and_add(["https://H.test/Page"])
+    second = s.check_and_add(["https://h.test/page"])
+    assert first.tolist() == [True]
+    assert second.tolist() == [False]  # same folded key ⇒ already seen
+    # output keeps the first-discovered casing verbatim (URL normalization —
+    # host lowercasing — happens upstream in urlnorm, not in the shard)
+    assert s.visited_table().column("url").to_pylist() == ["https://H.test/Page"]
