@@ -5,8 +5,9 @@ against the sharded seen set (SURVEY.md T1/J2/D1; reference: visited
 
 ``make_claim_fn`` is a stateless map_batches fn closed over the SeenShard
 actor handles: it partitions each batch of per-batch-combined candidates
-(dst, pack) by ``route_hash(url) % n_shards`` (hash of the case-folded
-membership key — spider's visited set is case-insensitive on the whole URL) and registers them via
+(dst, pack) by ``stable_hash64(fold_urls(url)) % n_shards`` (the case-folded
+membership key is computed once here and passed to the shard — spider's
+visited set is case-insensitive on the whole URL) and registers them via
 ``SeenShard.claim`` — the shard keeps the lexicographic-min pack per URL, so
 the per-round unique+argmin lives with the seen state instead of costing a
 separate groupby shuffle. After the claim stage is fully consumed, the engine
