@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": T.token_stats,
         "fingerprints": T.fingerprints,
         "winnow_fingerprints": T.winnow_fingerprints,
+        "repetition_stats": T.repetition_stats,
         "lang_id": T.lang_id,
         "quality": T.quality,
         # deduplication family

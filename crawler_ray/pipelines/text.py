@@ -243,3 +243,63 @@ def winnow_fingerprints(sf_dir: str, k: int = 5, window: int = 4):
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         fn, batch_format="pandas", batch_size=4096
     )
+
+
+# --------------------------------------------------------------------------- #
+def repetition_stats(sf_dir: str):
+    """Gopher-style repetition signals per document: fraction of tokens
+    inside duplicate word-2-grams and the share of the single most frequent
+    token — the filters that catch boilerplate/spam pages. Vectorized:
+    explode + grouped value_counts; no per-row Python loops."""
+    from .rounding import round_np
+    from ..state.seen import stable_hash64
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.split()
+        counts = toks.str.len().to_numpy(dtype=np.int64)
+        ex = toks.explode()
+        ex = ex[ex.notna()]
+        n = len(df)
+        top_frac = np.zeros(n)
+        dup2_frac = np.zeros(n)
+        if len(ex):
+            doc = ex.index.to_numpy(dtype=np.int64)
+            th = stable_hash64(ex.to_numpy(dtype=object))
+            # most-frequent-token share per doc: value_counts over (doc, hash)
+            s = np.empty(len(th), dtype=[("d", "i8"), ("h", "u8")])
+            s["d"], s["h"] = doc, th
+            uniq, cnt = np.unique(s, return_counts=True)
+            tf = pd.Series(cnt).groupby(pd.Series(uniq["d"])).max()
+            top_frac[tf.index.to_numpy()] = tf.to_numpy() / np.maximum(
+                counts[tf.index.to_numpy()], 1
+            )
+            # duplicate word-2-gram token fraction
+            valid = doc[:-1] == doc[1:] if len(th) > 1 else np.zeros(0, bool)
+            if valid.any():
+                g2 = (th[:-1][valid] * np.uint64(0x9E3779B97F4A7C15)) ^ th[1:][valid]
+                gd = doc[:-1][valid]
+                s2 = np.empty(len(g2), dtype=[("d", "i8"), ("h", "u8")])
+                s2["d"], s2["h"] = gd, g2
+                u2, c2 = np.unique(s2, return_counts=True)
+                # tokens covered by 2-grams occurring ≥ 2 times: each extra
+                # occurrence re-covers 2 tokens (Gopher's dup-ngram fraction)
+                dup_counts = pd.Series(np.where(c2 > 1, c2, 0)).groupby(
+                    pd.Series(u2["d"])
+                ).sum()
+                dup2_frac[dup_counts.index.to_numpy()] = np.minimum(
+                    2.0
+                    * dup_counts.to_numpy()
+                    / np.maximum(counts[dup_counts.index.to_numpy()], 1),
+                    1.0,
+                )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "top_token_frac": round_np(top_frac, 6),
+                "dup_2gram_frac": round_np(dup2_frac, 6),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas", batch_size=8192
+    )

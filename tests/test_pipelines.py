@@ -334,3 +334,27 @@ def test_winnowing_shared_passage(ray_session, tmp_path):
     assert by_doc[0] & by_doc[1], "shared passage must share a fingerprint"
     assert not (by_doc[0] & by_doc[2])
     assert not (by_doc[1] & by_doc[2])
+
+
+def test_repetition_stats_planted(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.text import repetition_stats
+
+    rows = {
+        "doc_id": [0, 1, 2],
+        "text": [
+            "spam spam spam spam spam spam",          # one token repeated
+            "buy now " * 10,                          # duplicated 2-grams
+            "all tokens here are fully distinct ok",  # clean
+        ],
+    }
+    d = tmp_path / "rep"
+    d.mkdir()
+    pq.write_table(pa.table(rows), str(d / "documents.parquet"))
+    r = to_df(repetition_stats(str(d))).set_index("doc_id")
+    assert r.loc[0, "top_token_frac"] == 1.0
+    assert r.loc[1, "dup_2gram_frac"] > 0.8
+    assert r.loc[2, "dup_2gram_frac"] == 0.0
+    assert r.loc[2, "top_token_frac"] < 0.25
