@@ -80,7 +80,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": D.exact_dedup,
         "minhash_pairs": D.minhash_pairs,
         "simhash_pairs": D.simhash_pairs,
-        "embedding_dup_pairs": D.embedding_dup_pairs,
+        # fixture-tuned threshold: the synthetic embeddings top out at cosine
+        # ≈ 0.51, so the library's 0.9 near-dup default is vacuous here
+        "embedding_dup_pairs": lambda sf: D.embedding_dup_pairs(
+            sf, threshold=0.4, n_planes=6
+        ),
         "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
         # curation composition (quality gate → dedup → cluster → keep list)
         "dup_clusters": _lazy("crawler_ray.pipelines.curate", "dup_clusters"),

@@ -58,12 +58,9 @@ def path_of(url: str) -> str:
 
 
 def stem(host: str) -> str:
-    from .urlnorm import PSL_TWO_LABEL  # shared embedded suffix subset
+    from .urlnorm import stem_of_host  # shared PSL rule engine
 
-    labels = host.split(".")
-    if len(labels) >= 3 and ".".join(labels[-2:]) in PSL_TWO_LABEL:
-        return labels[-3]
-    return labels[-2] if len(labels) >= 2 else host
+    return stem_of_host(host)
 
 
 @dataclass

@@ -118,9 +118,13 @@ def export_curated(sf_dir: str, out_dir: str | None = None, n_shards: int = 8, *
     Returns the export manifest (shard, n_docs, skipped) as an Arrow table.
     At 100 TB the per-shard loop runs as one pass with partition_cols over a
     materialized dataset exactly as here — shard count scales with input
-    shards, and the marker-then-data ordering is what makes mid-run kill
-    safe."""
+    shards, and the data-then-marker ordering is what makes mid-run kill
+    safe: a shard directory without its marker is an aborted attempt, wiped
+    before the rewrite (write_parquet appends uniquely-named files, so stale
+    partials would otherwise survive next to the fresh ones and double the
+    shard)."""
     import os
+    import shutil
 
     from ..state.seen import stable_hash64
 
@@ -147,6 +151,9 @@ def export_curated(sf_dir: str, out_dir: str | None = None, n_shards: int = 8, *
             )
             rows.append({"shard": k, "n_docs": n, "skipped": True})
             continue
+        # no marker ⇒ any existing files are a killed partial write — start
+        # the attempt from an empty directory
+        shutil.rmtree(sdir, ignore_errors=True)
         part = ds.filter(expr=f"shard == {k}")
         part.select_columns(["doc_id", "n_tokens", "quality"]).write_parquet(sdir)
         open(marker, "w").close()  # commit point: data first, marker last

@@ -209,14 +209,17 @@ def _empty_pairs(*extra: tuple[str, pa.DataType], key_type=None) -> pa.Table:
 
 
 def _pack_u64_rows(mat: np.ndarray) -> pa.Array:
-    """(n, w) uint64 matrix → BinaryArray of n values, 8·w bytes each —
+    """(n, w) uint64 matrix → LargeBinaryArray of n values, 8·w bytes each —
     Acero hash joins reject list-typed payload columns, binary passes
-    through zero-copy."""
+    through zero-copy. Large (int64) offsets: int32 offsets silently
+    overflow once n·8·w ≥ 2^31, which wide payloads (embedding rows of
+    dim·8 bytes) reach well inside one large batch at the module's
+    10^10-row design point."""
     n, w = mat.shape
     data = np.ascontiguousarray(mat).view(np.uint8)
-    offsets = (np.arange(n + 1, dtype=np.int32) * (8 * w)).tobytes()
+    offsets = (np.arange(n + 1, dtype=np.int64) * (8 * w)).tobytes()
     return pa.Array.from_buffers(
-        pa.binary(), n, [None, pa.py_buffer(offsets), pa.py_buffer(data.tobytes())]
+        pa.large_binary(), n, [None, pa.py_buffer(offsets), pa.py_buffer(data.tobytes())]
     )
 
 
@@ -228,7 +231,7 @@ def _unpack_u64_rows(col, n_words: int) -> np.ndarray:
     if n == 0:
         return np.zeros((0, n_words), dtype=np.uint64)
     width = 8 * n_words
-    offs = np.frombuffer(arr.buffers()[1], np.int32)[arr.offset : arr.offset + n + 1]
+    offs = np.frombuffer(arr.buffers()[1], np.int64)[arr.offset : arr.offset + n + 1]
     data = np.frombuffer(arr.buffers()[2], np.uint8)
     if (np.diff(offs) == width).all():
         return (
@@ -466,21 +469,22 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
 # --------------------------------------------------------------------------- #
 def embedding_dup_pairs(
     sf_dir: str,
-    threshold: float = 0.4,
-    n_planes: int = 6,
+    threshold: float = 0.9,
+    n_planes: int = 12,
     n_tables: int = 32,
 ):
     """Embedding-cosine near-dup: multi-table random-hyperplane LSH (standard
     OR-construction — a pair at cosine c lands in a shared bucket of at least
-    one table with probability 1-(1-(1-θ(c)/π)^k)^L ≈ 0.88 at c=0.4 with
-    k=6, L=32; exact duplicates share every table deterministically), then
-    exact cosine verification via the same hash-partitioned pairs×vectors
-    joins as the text near-dup family.
+    one table with probability 1-(1-(1-θ(c)/π)^k)^L; exact duplicates share
+    every table deterministically), then exact cosine verification via the
+    same hash-partitioned pairs×vectors joins as the text near-dup family.
 
-    Default threshold 0.4: the driver's synthetic embeddings are near-random
-    (max pairwise cosine ≈ 0.51), so the classic 0.95 near-dup band is empty
-    by construction — 0.4 selects the top-similarity band. At 10^10 vectors
-    raise k with log(n) and lower L to bound candidate volume."""
+    The library default (0.9, k=12) is genuine near-duplicate semantics.
+    The driver's synthetic embeddings are near-random (max pairwise cosine
+    ≈ 0.51), so that band is empty on the fixture by construction — the
+    bench/driver call site passes threshold=0.4, n_planes=6 explicitly to
+    select the fixture's top-similarity band. At 10^10 vectors raise k with
+    log(n) and lower L to bound candidate volume."""
     import ray.data as rd
 
     ds = rd.read_parquet(

@@ -255,6 +255,9 @@ def repetition_stats(sf_dir: str):
     from ..state.seen import stable_hash64
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
+        # ex.index is used as a positional scatter index below — a batch with
+        # a non-zero-based index would misattribute stats without this reset
+        df = df.reset_index(drop=True)
         toks = df["text"].fillna("").str.lower().str.split()
         counts = toks.str.len().to_numpy(dtype=np.int64)
         ex = toks.explode()

@@ -277,6 +277,14 @@ def test_export_curated_resumable(ray_session, tmp_path):
     assert not m2.loc[2, "skipped"]
     assert int(m2["n_docs"].sum()) == total
 
+    # kill mid-write: marker gone but stale data files remain → the retry
+    # must wipe them first, not append next to them (which would double the
+    # shard — ADVICE r2)
+    os.remove(os.path.join(out, "shard=3", "_SUCCESS"))
+    m3 = export_curated(sf, out_dir=out, n_shards=4).to_pandas().set_index("shard")
+    assert not m3.loc[3, "skipped"]
+    assert int(m3["n_docs"].sum()) == total
+
     # exported rows are exactly the curated keep-list, disjointly sharded
     got = []
     for k in range(4):

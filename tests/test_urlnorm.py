@@ -109,6 +109,46 @@ def test_registrable_stem_psl_aware():
     assert got == [stem(h) for h in hosts]
 
 
+def test_registrable_stem_wildcard_exception_rules():
+    """Full PSL rule semantics (VERDICT r2 #9): wildcard rules (*.ck — one
+    extra label is a public suffix), exception rules (!www.ck — carved back
+    out), and three-label normal rules (k12.<state>.us)."""
+    import pyarrow as pa
+
+    from crawler_ray import urlnorm
+    from crawler_ray.oracle import stem
+
+    cases = {
+        "foo.bar.ck": "foo",          # *.ck → bar.ck is a public suffix
+        "www.ck": "www",              # !www.ck → registrable is www.ck
+        "a.www.ck": "www",
+        "city.kawasaki.jp": "city",   # !city.kawasaki.jp
+        "a.foo.kawasaki.jp": "a",     # *.kawasaki.jp
+        "school.k12.ca.us": "school",  # 3-label normal rule
+        "a.mysite.bd": "a",           # *.bd
+        "www.example.com": "example",  # default rule "*"
+    }
+    got = urlnorm.registrable_stem(pa.array(list(cases), pa.string())).to_pylist()
+    assert got == list(cases.values())
+    # vectorized path ≡ scalar shared with the crawl oracle
+    assert got == [stem(h) for h in cases]
+
+
+def test_psl_scalar_vector_agree_on_arbitrary_hosts():
+    """Property: the scalar PSL reference and the Arrow-vectorized path agree
+    on every host shape (1-5 labels, rule or no rule)."""
+    import pyarrow as pa
+
+    from crawler_ray import urlnorm
+
+    labels = ["a", "www", "city", "k12", "co", "foo"]
+    tails = ["ck", "uk", "jp", "us", "com", "bd", "test", "kawasaki.jp", "co.uk", "ca.us"]
+    hosts = [f"{a}.{b}.{t}" for a in labels for b in labels for t in tails]
+    hosts += [f"{b}.{t}" for b in labels for t in tails] + tails + ["solo"]
+    vec = urlnorm.registrable_stem(pa.array(hosts, pa.string())).to_pylist()
+    assert vec == [urlnorm.stem_of_host(h) for h in hosts]
+
+
 def test_tld_scope_psl():
     import pyarrow as pa
 
