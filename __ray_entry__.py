@@ -130,11 +130,13 @@ def oracle_sql() -> dict[str, str]:
         "crawl_bfs": C.crawl_bfs_sql(_SF_ORACLE),
         "token_stats": T.token_stats_sql(),
         "fingerprints": T.fingerprints_sql(),
+        "quality": T.quality_sql(),
+        "repetition_stats": T.repetition_stats_sql(),
         "exact_dedup": D.exact_dedup_sql(),
         "ann_bruteforce": S.ann_bruteforce_sql(),
         # media_manifest is SQL-expressible over the same corpus parquet
         "media_manifest": _media_manifest_sql(),
-        # lang_id, quality, minhash/simhash/embedding/ngram pairs, ann_lsh,
+        # lang_id, minhash/simhash/embedding/ngram pairs, ann_lsh,
         # media_features: sketch-based or heuristic — rows-only checks.
     }
 

@@ -144,10 +144,10 @@ class QualityScore:
 
     def __init__(self):
         self.punct = re.compile(r"[^\w\s]", re.UNICODE)
-        allstop = frozenset().union(*_STOPWORDS.values())
-        self.stop_rx = re.compile(r"\b(?:" + "|".join(sorted(allstop)) + r")\b")
+        self.allstop = frozenset().union(*_STOPWORDS.values())
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)  # explode() reuses the index positionally
         text = df["text"].fillna("")
         lower = text.str.lower()
         n_chars = text.str.len()
@@ -161,24 +161,36 @@ class QualityScore:
             if len(ex)
             else pd.Series(0, index=df.index)
         )
-        stop_hits = lower.str.count(self.stop_rx)
+        # stopword hits = tokens that ARE a stopword (token membership — the
+        # same definition LIST_FILTER(toks, in stoplist) computes in the
+        # DuckDB oracle, and vectorized isin is faster than the old
+        # alternation regex scan)
+        stop_hits = (
+            ex.isin(self.allstop).groupby(level=0).sum().reindex(df.index, fill_value=0)
+            if len(ex)
+            else pd.Series(0, index=df.index)
+        )
         punct = text.str.count(self.punct)
         nt = n_tokens.clip(lower=1)
+        from .rounding import round_np
+
+        # round_np (half-away-from-zero) everywhere a float leaves the stage
+        # — DuckDB ROUND parity, same convention as every oracled pipeline
         out = pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
                 "n_chars": n_chars.astype("int64"),
                 "n_tokens": n_tokens.astype("int64"),
-                "uniq_ratio": (uniq / nt).round(6),
-                "stop_ratio": (stop_hits / nt).round(6),
-                "punct_ratio": (punct / n_chars.clip(lower=1)).round(6),
+                "uniq_ratio": round_np(uniq / nt, 6),
+                "stop_ratio": round_np(stop_hits / nt, 6),
+                "punct_ratio": round_np(punct / n_chars.clip(lower=1), 6),
             }
         )
         # composite score in [0,1]: length-normalized, diversity-weighted
         length_ok = np.clip(out["n_tokens"] / 50.0, 0, 1)
-        out["quality"] = (
-            0.4 * length_ok + 0.4 * out["uniq_ratio"] + 0.2 * (1 - out["punct_ratio"])
-        ).round(6)
+        out["quality"] = round_np(
+            0.4 * length_ok + 0.4 * out["uniq_ratio"] + 0.2 * (1 - out["punct_ratio"]), 6
+        )
         return out
 
     @staticmethod
@@ -190,6 +202,38 @@ def quality(sf_dir: str):
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         QualityScore, batch_format="pandas", batch_size=4096, concurrency=2
     )
+
+
+def quality_sql() -> str:
+    """DuckDB equivalent of :class:`QualityScore` (VERDICT r2 #6 — this is
+    deterministic arithmetic over token lists, so it gets a hard oracle).
+    Caveat shared with the engine: RE2's ``\\w`` is ASCII while Python's is
+    Unicode — identical on this corpus (pure ASCII), documented divergence on
+    non-ASCII punctuation."""
+    stoplist = ", ".join(f"'{w}'" for w in sorted(frozenset().union(*_STOPWORDS.values())))
+    return f"""
+    WITH base AS (
+        SELECT doc_id, text, LEN(text) AS n_chars,
+               CASE WHEN TRIM(text) = '' THEN []
+                    ELSE STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') END AS toks
+        FROM documents
+    ), agg AS (
+        SELECT doc_id, n_chars, LEN(toks) AS n_tokens,
+               LEN(LIST_DISTINCT(toks)) AS uniq,
+               LEN(LIST_FILTER(toks, x -> x IN ({stoplist}))) AS stop_hits,
+               LEN(REGEXP_EXTRACT_ALL(text, '[^\\w\\s]')) AS punct
+        FROM base
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           ROUND(uniq / GREATEST(n_tokens, 1)::DOUBLE, 6) AS uniq_ratio,
+           ROUND(stop_hits / GREATEST(n_tokens, 1)::DOUBLE, 6) AS stop_ratio,
+           ROUND(punct / GREATEST(n_chars, 1)::DOUBLE, 6) AS punct_ratio,
+           ROUND(0.4 * LEAST(n_tokens / 50.0, 1.0)
+                 + 0.4 * ROUND(uniq / GREATEST(n_tokens, 1)::DOUBLE, 6)
+                 + 0.2 * (1 - ROUND(punct / GREATEST(n_chars, 1)::DOUBLE, 6)),
+                 6) AS quality
+    FROM agg
+    """
 
 
 # --------------------------------------------------------------------------- #
@@ -306,3 +350,39 @@ def repetition_stats(sf_dir: str):
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         fn, batch_format="pandas", batch_size=8192
     )
+
+
+def repetition_stats_sql() -> str:
+    """DuckDB equivalent of :func:`repetition_stats` (VERDICT r2 #6): max
+    grouped token count and the duplicate-2-gram coverage, per document.
+    The engine counts 64-bit token hashes; string equality is the same
+    partition absent a hash collision (~1e-13 odds per doc here)."""
+    return """
+    WITH base AS (
+        SELECT doc_id,
+               CASE WHEN TRIM(text) = '' THEN []
+                    ELSE STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') END AS toks
+        FROM documents
+    ), nt AS (
+        SELECT doc_id, LEN(toks) AS n_tokens FROM base
+    ), tok AS (
+        SELECT doc_id, UNNEST(toks) AS tok, GENERATE_SUBSCRIPTS(toks, 1) AS pos
+        FROM base
+    ), tc AS (
+        SELECT doc_id, MAX(cnt) AS max_cnt FROM (
+            SELECT doc_id, tok, COUNT(*) AS cnt FROM tok GROUP BY doc_id, tok
+        ) GROUP BY doc_id
+    ), grams AS (
+        SELECT doc_id, tok || ' ' || LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        FROM tok
+        QUALIFY LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+    ), dup AS (
+        SELECT doc_id, SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dupsum FROM (
+            SELECT doc_id, g, COUNT(*) AS cnt FROM grams GROUP BY doc_id, g
+        ) GROUP BY doc_id
+    )
+    SELECT nt.doc_id,
+           ROUND(COALESCE(tc.max_cnt, 0) / GREATEST(nt.n_tokens, 1)::DOUBLE, 6) AS top_token_frac,
+           ROUND(LEAST(2.0 * COALESCE(dup.dupsum, 0) / GREATEST(nt.n_tokens, 1), 1.0), 6) AS dup_2gram_frac
+    FROM nt LEFT JOIN tc USING (doc_id) LEFT JOIN dup USING (doc_id)
+    """
