@@ -327,6 +327,7 @@ def query_suite() -> dict:
         ("events_hourly", R.events_hourly),
         ("top_orders", R.top_orders),
         ("token_stats", T.token_stats),
+        ("winnow_fingerprints", T.winnow_fingerprints),
         ("exact_dedup", D.exact_dedup),
         ("minhash_pairs", D.minhash_pairs),
         ("ann_bruteforce", S.ann_bruteforce),

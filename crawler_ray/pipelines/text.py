@@ -241,46 +241,78 @@ def winnow_fingerprints(sf_dir: str, k: int = 5, window: int = 4):
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken '03): k-gram
     rolling hashes → per-window minimum, rightmost-min tie-break — the
     guarantee is every shared substring of length ≥ k+window-1 yields at
-    least one shared fingerprint. Vectorized: sliding-window minimum via
-    np.minimum.reduceat-free stride trick per doc batch; output one row per
-    selected (doc_id, fingerprint, pos). Rows-only for the driver (selection
-    positions are not SQL-expressible); pytest pins overlap detection on
-    planted shared passages."""
+    least one shared fingerprint. Fully vectorized across the batch: all
+    documents' k-grams are built as ONE flat array (Arrow element-wise join
+    of k shifted token slices), hashed in one pass, and the per-window
+    rightmost-min selection runs as a single sliding_window_view argmin over
+    the flat array with document-boundary masking — no per-document or
+    per-window Python. Output one row per selected (doc_id, fingerprint,
+    pos). Rows-only for the driver (selection positions are not
+    SQL-expressible); pytest pins overlap detection on planted shared
+    passages."""
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     from ..state.seen import stable_hash64
 
+    empty = pa.schema(
+        [("doc_id", pa.int64()), ("fingerprint", pa.int64()), ("pos", pa.int64())]
+    ).empty_table()
+
     def fn(df: pd.DataFrame) -> pa.Table:
-        out_doc, out_fp, out_pos = [], [], []
+        df = df.reset_index(drop=True)
         toks = df["text"].fillna("").str.lower().str.split()
-        for doc, ts in zip(df["doc_id"].to_numpy(), toks):
-            if len(ts) < k:
-                continue
-            grams = np.array(
-                [" ".join(ts[i : i + k]) for i in range(len(ts) - k + 1)],
-                dtype=object,
-            )
-            h = stable_hash64(grams)
-            n = len(h)
-            if n < window:
-                sel = {int(np.flatnonzero(h == h.min())[-1])}
-            else:
-                sw = np.lib.stride_tricks.sliding_window_view(h, window)
-                mins = sw.min(axis=1)
-                sel = set()
-                for w0 in range(sw.shape[0]):
-                    # rightmost position of the window minimum (robust
-                    # winnowing tie-break)
-                    sel.add(w0 + int(np.flatnonzero(sw[w0] == mins[w0])[-1]))
-            for p in sorted(sel):
-                out_doc.append(doc)
-                out_fp.append(int(h[p]))
-                out_pos.append(p)
+        counts = toks.str.len().to_numpy(dtype=np.int64)
+        keep = counts >= k
+        if not keep.any():
+            return empty
+        doc_ids = df["doc_id"].to_numpy()
+        ex = toks[keep].explode()
+        flat = pa.array(ex.to_numpy(dtype=object), pa.string())
+        tdoc = ex.index.to_numpy(dtype=np.int64)  # df row per token
+        m = len(flat) - k + 1
+        # k-gram strings: element-wise join of k shifted slices (C-speed;
+        # identical bytes to " ".join(tokens[i:i+k]))
+        grams = pc.binary_join_element_wise(
+            *[flat.slice(j, m) for j in range(k)], " "
+        )
+        valid = tdoc[:m] == tdoc[k - 1 :]  # gram fully inside one doc
+        h = stable_hash64(grams.to_numpy(zero_copy_only=False))[valid]
+        gdoc = tdoc[:m][valid]
+        n = len(h)
+        # per-document gram segments over the flat array
+        seg_start_mask = np.empty(n, dtype=bool)
+        seg_start_mask[0] = True
+        seg_start_mask[1:] = gdoc[1:] != gdoc[:-1]
+        seg_ids = np.cumsum(seg_start_mask) - 1
+        seg_starts = np.flatnonzero(seg_start_mask)
+        seg_lens = np.diff(np.append(seg_starts, n))
+        # windows that fit inside a segment: rightmost min via argmin of the
+        # REVERSED window (first min of the reversal = rightmost original —
+        # the robust-winnowing tie-break)
+        if n >= window:
+            sw = np.lib.stride_tricks.sliding_window_view(h, window)
+            inwin = gdoc[: n - window + 1] == gdoc[window - 1 :]
+            rev_arg = sw[:, ::-1].argmin(axis=1)
+            sel_w = (np.arange(n - window + 1) + (window - 1 - rev_arg))[inwin]
+        else:
+            sel_w = np.zeros(0, dtype=np.int64)
+        # short documents (< window grams): one fingerprint, the rightmost
+        # global min of the segment (reduceat keeps this a flat-array op)
+        short = seg_lens < window
+        if short.any():
+            mins = np.minimum.reduceat(h, seg_starts)
+            idx = np.where(h == mins[seg_ids], np.arange(n), -1)
+            sel_s = np.maximum.reduceat(idx, seg_starts)[short]
+        else:
+            sel_s = np.zeros(0, dtype=np.int64)
+        sel = np.unique(np.concatenate([sel_w, sel_s]))
+        out_rows = gdoc[sel]
         return pa.table(
             {
-                "doc_id": pa.array(out_doc),
-                "fingerprint": pa.array(np.array(out_fp, dtype=np.uint64).view(np.int64)),
-                "pos": pa.array(out_pos, pa.int64()),
+                "doc_id": pa.array(doc_ids[out_rows]),
+                "fingerprint": pa.array(h[sel].view(np.int64)),
+                "pos": pa.array(sel - seg_starts[seg_ids[sel]], pa.int64()),
             }
         )
 
