@@ -28,37 +28,46 @@ from .text import QualityScore
 def dup_clusters(sf_dir: str, threshold: float = 0.5):
     """Near-dup clusters: (doc_id, cluster_id) for every doc that appears in
     at least one verified MinHash pair; cluster_id = min doc_id in the
-    component (deterministic). Edges stream from the pairs Dataset in batches
-    — union-find state is bounded by 2×|verified pairs|, never the corpus."""
+    component (deterministic). Edge arrays stream from the pairs Dataset in
+    batches; connected components run as vectorized min-label propagation
+    over int-mapped ids (np.minimum.at scatter + pointer jumping — O(E·log D)
+    numpy passes, no per-edge Python). State is bounded by 2×|verified
+    pairs|, never the corpus."""
     pairs = minhash_pairs(sf_dir, threshold=threshold)
-    parent: dict = {}
-
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    def union(a, b):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            # lower id wins the root → deterministic cluster ids
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-
+    cols_a, cols_b = [], []
     for batch in pairs.select_columns(["a", "b"]).iter_batches(
-        batch_size=65536, batch_format="pandas"
+        batch_size=65536, batch_format="pyarrow"
     ):
-        for a, b in zip(batch["a"], batch["b"]):
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            union(a, b)
-    rows = sorted((d, find(d)) for d in parent)
+        cols_a.append(batch["a"].combine_chunks().to_numpy(zero_copy_only=False))
+        cols_b.append(batch["b"].combine_chunks().to_numpy(zero_copy_only=False))
+    if not cols_a:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
+        )
+    a = np.concatenate(cols_a)
+    b = np.concatenate(cols_b)
+    # int-map node ids; nodes is sorted, so a smaller index IS a smaller
+    # doc_id and min-label propagation lands on the min doc_id per component
+    nodes = np.unique(np.concatenate([a, b]))
+    ia = np.searchsorted(nodes, a)
+    ib = np.searchsorted(nodes, b)
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        la, lb = label[ia], label[ib]
+        m = np.minimum(la, lb)
+        before = label.copy()
+        np.minimum.at(label, ia, m)
+        np.minimum.at(label, ib, m)
+        label = np.minimum(label, label[label])  # pointer jumping
+        while True:
+            nxt = label[label]
+            if (nxt == label).all():
+                break
+            label = nxt
+        if (label == before).all():
+            break
     return pa.table(
-        {
-            "doc_id": pa.array([r[0] for r in rows]),
-            "cluster_id": pa.array([r[1] for r in rows]),
-        }
+        {"doc_id": pa.array(nodes), "cluster_id": pa.array(nodes[label])}
     )
 
 
