@@ -325,6 +325,7 @@ def query_suite() -> dict:
         ("nation_revenue", R.nation_revenue),
         ("q5_region_revenue", R.q5_region_revenue),
         ("events_hourly", R.events_hourly),
+        ("events_sessions", R.events_sessions),
         ("top_orders", R.top_orders),
         ("token_stats", T.token_stats),
         ("winnow_fingerprints", T.winnow_fingerprints),
