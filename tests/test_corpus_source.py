@@ -32,6 +32,50 @@ def test_parquet_fallback_roundtrip(tmp_path, ray_session):
     assert ds.schema().names == ["doc_id"]
 
 
+def test_ensure_sharded_reads_one_nth(tmp_path, ray_session):
+    """Pre-partitioned corpus (VERDICT r2 #5): every CorpusShard built from
+    the sharded directory matches the filter-the-whole-file path exactly,
+    and its shard=K directory holds only ~1/N of the corpus bytes — the
+    actor's startup read is proportional to its slice, not the corpus."""
+    import os
+
+    from crawler_ray.stages.fetch import CorpusShard
+
+    tab = gen_corpus(CorpusSpec(n_hosts=4, pages_per_host=40))
+    p = str(tmp_path / "c.parquet")
+    src.write_table(tab, p)
+    n = 4
+    d = src.ensure_sharded(p, n, min_bytes=0)
+    assert d != p and os.path.isdir(d)
+
+    total_docs = 0
+    urls = tab.column("doc_id").to_pylist()[:64]
+    for k in range(n):
+        via_dir = CorpusShard(d, k, n)
+        via_file = CorpusShard(p, k, n)
+        assert via_dir.num_docs() == via_file.num_docs()
+        assert via_dir.fetch(urls).equals(via_file.fetch(urls))
+        total_docs += via_dir.num_docs()
+    assert total_docs == tab.num_rows
+
+    # bytes evidence: each shard dir ≤ ~2/N of the total sharded bytes
+    sizes = []
+    for k in range(n):
+        sd = os.path.join(d, f"shard={k}")
+        sizes.append(
+            sum(
+                os.path.getsize(os.path.join(sd, f))
+                for f in os.listdir(sd)
+            )
+        )
+    assert max(sizes) < 2 * sum(sizes) / n
+
+    # cached: second call returns the same directory without rebuilding
+    assert src.ensure_sharded(p, n, min_bytes=0) == d
+    # below the size threshold the original path is returned untouched
+    assert src.ensure_sharded(p, n) == p
+
+
 @pytest.mark.skipif(
     not src.HAVE_LANCE, reason="lance/pylance wheel not installed in this sandbox"
 )
