@@ -95,8 +95,10 @@ def curate(sf_dir: str, min_tokens: int = 5, min_quality: float = 0.3, near_dup_
     # schemas, measured round 1)
     import pyarrow.parquet as pq
 
+    from .partitions import for_rows
+
     n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    n_parts = int(np.clip(n_docs // 4096, 1, 16))
+    n_parts = for_rows(n_docs, 1_000_000)
     survivors = exact_dedup(sf_dir)
     kept = kept_q.join(
         survivors, join_type="inner", on=("doc_id",), num_partitions=n_parts

@@ -49,13 +49,20 @@ def exact_dedup(sf_dir: str):
         )
         return part.groupby(["h1", "h2"], sort=False)["doc_id"].min().reset_index()
 
+    from .partitions import agg_partitions
+
     ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         prep, batch_format="pandas", batch_size=16384
     )
     # repartition pins the shuffle partition count: Ray's sort-aggregate sizes
     # partitions from the pre-combiner plan (e.g. 64 read blocks → 64² tiny
-    # shuffle tasks, ~14s for 5k rows); post-combiner the data is small
-    out = ds.repartition(8).groupby(["h1", "h2"]).aggregate(Min("doc_id", alias_name="doc_id"))
+    # shuffle tasks, ~14s for 5k rows); post-combiner the data is small, so
+    # the count derives from the source bytes (dense at small scale)
+    out = (
+        ds.repartition(agg_partitions(sf_dir, "documents"))
+        .groupby(["h1", "h2"])
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+    )
     return out.select_columns(["doc_id"])
 
 
@@ -137,15 +144,28 @@ def _band_hashes(sig: np.ndarray) -> np.ndarray:
     return out
 
 
-def _bucket_pairs_by_join(bands, cap: int = _BUCKET_CAP, num_partitions: int = 8):
+def _bucket_pairs_by_join(bands, cap: int = _BUCKET_CAP, num_partitions: int | None = None):
     """(bucket-key..., doc_id) rows → distinct candidate pairs (a < b), fully
     vectorized: bucket sizes via grouped Count, size-gate (2..cap — oversized
     buckets are degenerate and skipped; their members still pair via other
     bands), then a hash-partitioned SELF-JOIN on the bucket key. Replaces
-    per-group Python (map_groups over ~1e5 tiny groups was ~100× slower)."""
+    per-group Python (map_groups over ~1e5 tiny groups was ~100× slower).
+
+    ``num_partitions`` defaults to band-rows / 1M with a floor of 8: the
+    bucket-size and pair-dedup groupbys are SORT aggregates whose reduce
+    merges every map fragment of a partition in one task (p=1 measured 20 s
+    vs 4.8 s at p=8 on sf0.1 — see partitions.agg_partitions), while the
+    formula still widens with data at 10^10 rows."""
     from ray.data.aggregate import Count
 
+    from .partitions import cluster_cap, for_rows
+
     key = ["band", "bh"]
+    bands = bands.materialize()
+    if num_partitions is None:
+        num_partitions = for_rows(
+            bands.count(), 1_000_000, floor=min(8, cluster_cap())
+        )
     bands = bands.repartition(num_partitions).materialize()
     # skew gate: oversized buckets are rare degenerate clusters — collect just
     # their keys to the driver and broadcast-filter them out (a join against
@@ -253,8 +273,12 @@ def _join_pair_sides(pairs, lookup, payload: str, n_pairs: int = 0):
     num_partitions scales with the pair count and is 1 for small tables:
     Ray's hash-shuffle join drops the schema of EMPTY partitions (measured
     round 1 — acero then fails with 'No match for FieldRef'), so partitions
-    are sized to stay dense."""
-    num_partitions = int(np.clip(n_pairs // 4096, 1, 16))
+    are sized to stay dense. ~256k pairs per partition: the joined payload
+    (packed signatures/vectors, ~0.5 KB/row) lands each partition around
+    128 MB in memory."""
+    from .partitions import for_rows
+
+    num_partitions = for_rows(n_pairs, 262_144)
 
     def renamer(key: str):
         # note: pyarrow 16.1 rename_columns silently ignores dict args —

@@ -21,6 +21,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .partitions import agg_partitions, join_partitions
 from .rounding import round_np, round_pa
 
 
@@ -130,7 +131,7 @@ def q1_pricing_summary(sf_dir: str):
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     # repartition pins the post-combiner shuffle partition count (see dedup.py)
-    out = partials.repartition(8).groupby(["l_returnflag", "l_linestatus"]).aggregate(
+    out = partials.repartition(agg_partitions(sf_dir, "lineitem")).groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("sum_qty", alias_name="sum_qty"),
         Sum("base_cents", alias_name="base_cents"),
         Sum("disc_u", alias_name="disc_u"),
@@ -250,7 +251,7 @@ def segment_revenue(sf_dir: str):
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     partials = ds.map_batches(attach, batch_format="pyarrow", batch_size=65536)
-    out = partials.repartition(8).groupby("c_mktsegment").aggregate(
+    out = partials.repartition(agg_partitions(sf_dir, "orders")).groupby("c_mktsegment").aggregate(
         Sum("cents", alias_name="cents"), Sum("n_orders", alias_name="n_orders")
     )
     return out.map_batches(
@@ -296,11 +297,15 @@ def nation_revenue(sf_dir: str):
 
     li = li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    # partitions sized to data, not cores: each hash-aggregator actor has
-    # fixed startup cost (16 partitions measured 2× slower than 8 at sf0.1);
-    # at real scale pick ≈ input_bytes / 512 MB
+    # partitions sized to DATA, not cores: each hash-aggregator actor has
+    # fixed startup cost (at sf0.1 one dense partition measured 2× faster
+    # than 8) and the formula widens to the cluster cap at 100 TB
     joined = li.join(
-        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+        orders,
+        join_type="inner",
+        num_partitions=join_partitions(sf_dir, "lineitem", "orders"),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
     )
 
     # pre-compose the customer→nation-name lookup on the driver (both dims are
@@ -327,7 +332,7 @@ def nation_revenue(sf_dir: str):
         return g.rename_columns(["n_name", "rev_u"])
 
     partials = joined.map_batches(attach, batch_format="pyarrow", batch_size=65536)
-    out = partials.repartition(8).groupby("n_name").aggregate(Sum("rev_u", alias_name="rev_u"))
+    out = partials.repartition(agg_partitions(sf_dir, "lineitem")).groupby("n_name").aggregate(Sum("rev_u", alias_name="rev_u"))
     return out.map_batches(
         lambda t: pa.table(
             {
@@ -375,7 +380,7 @@ def distinct_nation_keys(sf_dir: str):
         lambda t: pa.table({"c_nationkey": pc.unique(t["c_nationkey"])}),
         batch_format="pyarrow",
     )
-    out = local.repartition(8).groupby("c_nationkey").count()
+    out = local.repartition(agg_partitions(sf_dir, "customer")).groupby("c_nationkey").count()
     return out.select_columns(["c_nationkey"])
 
 
@@ -414,7 +419,7 @@ def events_hourly(sf_dir: str):
         return g.rename_columns(["event_type", "window_start", "cents", "n_events"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-    out = partials.repartition(8).groupby(["event_type", "window_start"]).aggregate(
+    out = partials.repartition(agg_partitions(sf_dir, "events")).groupby(["event_type", "window_start"]).aggregate(
         Sum("cents", alias_name="cents"),
         Sum("n_events", alias_name="n_events"),
     )
@@ -570,11 +575,19 @@ def q5_region_revenue(sf_dir: str):
 
     li = li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
     j1 = li.join(
-        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+        orders,
+        join_type="inner",
+        num_partitions=join_partitions(sf_dir, "lineitem", "orders"),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
     )
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     j2 = j1.join(
-        cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+        cust,
+        join_type="inner",
+        num_partitions=join_partitions(sf_dir, "lineitem", "customer"),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
     )
 
     # pre-compose supplier→(nationkey, in-ASIA) and nation→name on the driver
@@ -610,7 +623,7 @@ def q5_region_revenue(sf_dir: str):
         return g.rename_columns(["n_name", "rev_u"])
 
     partials = j2.map_batches(attach, batch_format="pyarrow", batch_size=65536)
-    out = partials.repartition(4).groupby("n_name").aggregate(Sum("rev_u", alias_name="rev_u"))
+    out = partials.repartition(agg_partitions(sf_dir, "lineitem")).groupby("n_name").aggregate(Sum("rev_u", alias_name="rev_u"))
     return out.map_batches(
         lambda t: pa.table(
             {
@@ -670,7 +683,7 @@ def brand_volume(sf_dir: str):
 
     out = (
         li.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-        .repartition(4)
+        .repartition(agg_partitions(sf_dir, "lineitem"))
         .groupby("p_brand")
         .aggregate(Sum("total_qty", alias_name="total_qty"))
     )
@@ -794,7 +807,7 @@ def props_k_sum(sf_dir: str):
         return part.groupby("user_id", sort=False)["k"].sum().reset_index(name="k_sum")
 
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
-    out = partials.repartition(4).groupby("user_id").aggregate(Sum("k_sum", alias_name="k_sum"))
+    out = partials.repartition(agg_partitions(sf_dir, "events")).groupby("user_id").aggregate(Sum("k_sum", alias_name="k_sum"))
     return out.select_columns(["user_id", "k_sum"])
 
 
