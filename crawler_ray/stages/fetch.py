@@ -132,7 +132,7 @@ def make_fetch_fn(
         refs, positions = [], []
         for s in np.unique(shard):
             pos = np.flatnonzero(shard == s)
-            refs.append(handles[int(s)].fetch.remote([url_np[i] for i in pos]))
+            refs.append(handles[int(s)].fetch.remote(url_np[pos]))
             positions.append(pos)
         parts = ray.get(refs)
         status = np.empty(n, dtype=np.int32)

@@ -78,7 +78,13 @@ class CuckooFilter:
     def _fp_and_indices(self, h: np.ndarray):
         fp = ((h >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
         fp = np.where(fp == 0, np.uint16(1), fp)  # 0 marks an empty slot
-        i1 = (h & self.mask).astype(np.int64)
+        # bucket index from a REMIXED hash, not the raw low bits: shard
+        # routing uses `h % n_shards`, so every key reaching this shard has
+        # fixed low bits — raw `h & mask` would concentrate all primary
+        # buckets in 1/n_shards of the table (measured: over-capacity
+        # failures at ~12% nominal load with 8 shards)
+        mixed = (h * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(13)
+        i1 = (mixed & self.mask).astype(np.int64)
         i2 = self._alt_index(i1, fp)
         return fp, i1, i2
 
@@ -179,8 +185,10 @@ class SeenShard:
         """Returns bool mask: True where the URL was NOT seen before (and is
         now marked seen). URLs must be unique (after case folding) within the
         call. ``keys``: pre-folded membership keys (routers already fold for
-        the shard hash — passing them avoids a second fold pass)."""
-        if not urls:
+        the shard hash — passing them avoids a second fold pass). Accepts
+        lists or numpy object arrays (routers send sliced arrays — no
+        per-element list building on the hot path)."""
+        if len(urls) == 0:
             return np.zeros(0, dtype=bool)
         if keys is None:
             keys = fold_urls(urls)
@@ -208,7 +216,7 @@ class SeenShard:
         return novel
 
     def contains(self, urls: list[str]) -> np.ndarray:
-        if not urls:
+        if len(urls) == 0:
             return np.zeros(0, dtype=bool)
         keys = fold_urls(urls)
         if self.exact is not None:
