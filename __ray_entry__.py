@@ -132,6 +132,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": T.fingerprints_sql(),
         "quality": T.quality_sql(),
         "repetition_stats": T.repetition_stats_sql(),
+        "lang_id": T.lang_id_sql(),
         "exact_dedup": D.exact_dedup_sql(),
         "ann_bruteforce": S.ann_bruteforce_sql(),
         # media_manifest is SQL-expressible over the same corpus parquet

@@ -91,25 +91,38 @@ _STOPWORDS = {
 class LangId:
     """Heuristic language ID (SURVEY 'beyond the reference' text ops):
     function-word hit-rate per language + a CJK-codepoint ratio for zh.
-    Stateful actor stage — regexes built once per actor; scoring is fully
-    vectorized (one compiled-alternation count per language, C-speed)."""
+    Stateful actor stage. Hit rates count TOKEN MEMBERSHIP in each
+    language's function-word set (one explode, one isin per language —
+    C-speed, and the same definition the DuckDB oracle's LIST_FILTER
+    computes); ties go to the alphabetically-first language (argmax)."""
 
     def __init__(self):
         self.langs = sorted(_STOPWORDS)
-        self.rx = {
-            lang: re.compile(r"\b(?:" + "|".join(sorted(sw)) + r")\b")
-            for lang, sw in _STOPWORDS.items()
-        }
+        self.stopsets = {lang: frozenset(sw) for lang, sw in _STOPWORDS.items()}
         self.cjk = re.compile(r"[一-鿿]")
-        self.tok = re.compile(r"\S+")
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)  # explode() reuses the index positionally
         text = df["text"].fillna("")
         lower = text.str.lower()
-        n_tok = lower.str.count(self.tok).clip(lower=1).to_numpy()
-        mat = np.vstack(
-            [lower.str.count(self.rx[lang]).to_numpy() / n_tok for lang in self.langs]
-        )
+        toks = lower.str.split()
+        n_tok = toks.str.len().clip(lower=1).to_numpy()
+        ex = toks.explode()
+        ex = ex[ex.notna()]
+        rows = []
+        for lang in self.langs:
+            if len(ex):
+                hits = (
+                    ex.isin(self.stopsets[lang])
+                    .groupby(level=0)
+                    .sum()
+                    .reindex(df.index, fill_value=0)
+                    .to_numpy()
+                )
+            else:
+                hits = np.zeros(len(df))
+            rows.append(hits / n_tok)
+        mat = np.vstack(rows)
         best = mat.argmax(axis=0)
         best_score = mat.max(axis=0)
         pred = np.where(
@@ -135,6 +148,45 @@ def lang_id(sf_dir: str):
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         LangId, batch_format="pandas", batch_size=4096, concurrency=2
     )
+
+
+def lang_id_sql() -> str:
+    """DuckDB equivalent of :class:`LangId` — per-language function-word hit
+    rate with first-max tie-break in sorted language order, the CJK override
+    for zh, and the shared half-away rounding."""
+    def stoplist(lang):
+        return ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang]))
+
+    rate_cols = ",\n               ".join(
+        f"LEN(LIST_FILTER(toks, x -> x IN ({stoplist(lang)})))::DOUBLE"
+        f" / GREATEST(LEN(toks), 1) AS r_{lang}"
+        for lang in sorted(_STOPWORDS)
+    )
+    return f"""
+    WITH base AS (
+        SELECT doc_id,
+               CASE WHEN TRIM(text) = '' THEN []
+                    ELSE STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') END AS toks,
+               GREATEST(LEN(text), 1) AS n_chars,
+               LEN(REGEXP_EXTRACT_ALL(text, '[一-鿿]')) AS cjk
+        FROM documents
+    ), r AS (
+        SELECT doc_id, cjk, n_chars,
+               {rate_cols}
+        FROM base
+    )
+    SELECT doc_id,
+           CASE WHEN cjk > 0 THEN 'zh'
+                WHEN GREATEST(r_de, r_en, r_es, r_fr) > 0 THEN
+                    CASE WHEN r_de >= r_en AND r_de >= r_es AND r_de >= r_fr THEN 'de'
+                         WHEN r_en >= r_es AND r_en >= r_fr THEN 'en'
+                         WHEN r_es >= r_fr THEN 'es'
+                         ELSE 'fr' END
+                ELSE 'und' END AS pred_lang,
+           ROUND(CASE WHEN cjk > 0 THEN cjk::DOUBLE / n_chars
+                      ELSE GREATEST(r_de, r_en, r_es, r_fr) END, 6) AS lang_score
+    FROM r
+    """
 
 
 # --------------------------------------------------------------------------- #
