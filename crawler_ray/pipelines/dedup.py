@@ -144,69 +144,88 @@ def _band_hashes(sig: np.ndarray) -> np.ndarray:
     return out
 
 
-def _bucket_pairs_by_join(bands, cap: int = _BUCKET_CAP, num_partitions: int | None = None):
-    """(bucket-key..., doc_id) rows → distinct candidate pairs (a < b), fully
-    vectorized: bucket sizes via grouped Count, size-gate (2..cap — oversized
-    buckets are degenerate and skipped; their members still pair via other
-    bands), then a hash-partitioned SELF-JOIN on the bucket key. Replaces
-    per-group Python (map_groups over ~1e5 tiny groups was ~100× slower).
+def _emit_bucket_pairs(part: pa.Table, cap: int) -> pa.Table:
+    """All within-bucket pairs (a < b by doc_id) for one hash partition of
+    (band, bh, doc_id) rows. Vectorized by SIZE CLASS: segments of equal
+    size n are stacked (k, n) and indexed with one cached triu_indices —
+    ≤ cap distinct size classes, zero per-bucket Python. Buckets larger
+    than ``cap`` are degenerate near-cliques and skipped (their members
+    still pair through other bands). Arrow in/out — a pandas output here
+    made the downstream distinct groupby run on pandas blocks, ~10×
+    slower than the Arrow sort path."""
+    band = part["band"].combine_chunks().to_numpy(zero_copy_only=False)
+    bh = part["bh"].combine_chunks().to_numpy(zero_copy_only=False)
+    doc = part["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.lexsort((doc, bh, band))
+    band, bh, doc = band[order], bh[order], doc[order]
+    n = len(doc)
+    boundary = np.empty(n, dtype=bool)
+    boundary[0] = True
+    boundary[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+    starts = np.flatnonzero(boundary)
+    lens = np.diff(np.append(starts, n))
+    out_a, out_b = [doc[:0]], [doc[:0]]
+    for size in np.unique(lens):
+        if size < 2 or size > cap:
+            continue
+        segs = starts[lens == size]
+        # (k, size) doc matrix; rows sorted by doc (lexsort above), so
+        # triu pairs are a < b by construction
+        mat = doc[(segs[:, None] + np.arange(size)[None, :])]
+        iu, ju = np.triu_indices(int(size), k=1)
+        out_a.append(mat[:, iu].ravel())
+        out_b.append(mat[:, ju].ravel())
+    # explicit type: an empty partition of object doc_ids would otherwise
+    # infer null-typed columns and clash with non-empty blocks' schema
+    t = part.schema.field("doc_id").type
+    return pa.table(
+        {
+            "a": pa.array(np.concatenate(out_a), type=t),
+            "b": pa.array(np.concatenate(out_b), type=t),
+        }
+    )
 
-    ``num_partitions`` defaults to band-rows / 1M with a floor of 8: the
-    bucket-size and pair-dedup groupbys are SORT aggregates whose reduce
-    merges every map fragment of a partition in one task (p=1 measured 20 s
-    vs 4.8 s at p=8 on sf0.1 — see partitions.agg_partitions), while the
-    formula still widens with data at 10^10 rows."""
+
+def _bucket_pairs_by_join(bands, cap: int = _BUCKET_CAP, num_partitions: int | None = None):
+    """(band, bh, doc_id) rows → distinct candidate pairs (a < b).
+
+    One hash shuffle on the bucket key (coarse pkey partitions — every row
+    of a bucket lands in one partition) + a vectorized within-partition
+    pair-emit kernel, then one distinct groupby on (a, b) (the same pair
+    can surface from several bands). This replaces the earlier
+    self-JOIN + size-table + driver skew-gate round-trip: same output,
+    two shuffles instead of four, and the size gate (2..cap) is a local
+    segment check. Measured sf0.1: minhash candidate stage 4.8 s → ~1.5 s.
+
+    ``num_partitions`` floors at 8: the distinct groupby is a SORT
+    aggregate whose reduce merges every map fragment of a partition in one
+    task (see partitions.agg_partitions); the formula widens with data at
+    10^10 rows."""
     from ray.data.aggregate import Count
 
     from .partitions import cluster_cap, for_rows
 
-    key = ["band", "bh"]
     bands = bands.materialize()
     if num_partitions is None:
         num_partitions = for_rows(
             bands.count(), 1_000_000, floor=min(8, cluster_cap())
         )
-    bands = bands.repartition(num_partitions).materialize()
-    # skew gate: oversized buckets are rare degenerate clusters — collect just
-    # their keys to the driver and broadcast-filter them out (a join against
-    # the full size table hits Ray's empty-hash-partition schema loss)
-    sizes = bands.groupby(key).aggregate(Count(alias_name="n"))
-    big = sizes.map_batches(
-        lambda t: t.filter(pc.greater(t["n"], cap)).drop_columns(["n"]),
-        batch_format="pyarrow",
-    ).to_pandas()
-    if len(big):
-        # exact (band, bh) matching — a lossy composite key could alias an
-        # innocent bucket onto a dropped one (silent recall loss); the big
-        # list is tiny (rare degenerate clusters), so k vectorized passes
-        bad_pairs = list(
-            zip(big["band"].to_numpy(dtype=np.int64), big["bh"].to_numpy(dtype=np.int64))
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        band = t["band"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+        bh = t["bh"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+        mixed = (band * np.uint64(0xC2B2AE3D27D4EB4F)) ^ (bh * np.uint64(0x9E3779B97F4A7C15))
+        pkey = ((mixed >> np.uint64(17)) % np.uint64(num_partitions)).astype(np.int64)
+        return t.append_column("pkey", pa.array(pkey))
+
+    pairs = (
+        bands.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(
+            lambda part: _emit_bucket_pairs(part.drop_columns(["pkey"]), cap),
+            batch_format="pyarrow",
         )
-
-        def drop_big(t: pa.Table) -> pa.Table:
-            band = t["band"].combine_chunks().to_numpy(zero_copy_only=False)
-            bh = t["bh"].combine_chunks().to_numpy(zero_copy_only=False)
-            drop = np.zeros(len(t), dtype=bool)
-            for b, h in bad_pairs:
-                drop |= (band == b) & (bh == h)
-            return t.filter(pa.array(~drop))
-
-        bands = bands.map_batches(drop_big, batch_format="pyarrow").materialize()
-    pairs_raw = bands.join(
-        bands,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=tuple(key),
-        left_suffix="_l",
-        right_suffix="_r",
     )
-
-    def ordered(t: pa.Table) -> pa.Table:
-        keep = pc.less(t["doc_id_l"], t["doc_id_r"])
-        t = t.filter(keep)
-        return pa.table({"a": t["doc_id_l"].combine_chunks(), "b": t["doc_id_r"].combine_chunks()})
-
-    pairs = pairs_raw.map_batches(ordered, batch_format="pyarrow")
     return (
         pairs.repartition(num_partitions)
         .groupby(["a", "b"])
