@@ -175,14 +175,16 @@ def _emit_bucket_pairs(part: pa.Table, cap: int) -> pa.Table:
         iu, ju = np.triu_indices(int(size), k=1)
         out_a.append(mat[:, iu].ravel())
         out_b.append(mat[:, ju].ravel())
+    a = np.concatenate(out_a)
+    b = np.concatenate(out_b)
+    # strict a < b: a doc_id repeated inside one bucket (impossible from the
+    # band exploders, possible for arbitrary callers) must not self-pair
+    keep = a != b
     # explicit type: an empty partition of object doc_ids would otherwise
     # infer null-typed columns and clash with non-empty blocks' schema
     t = part.schema.field("doc_id").type
     return pa.table(
-        {
-            "a": pa.array(np.concatenate(out_a), type=t),
-            "b": pa.array(np.concatenate(out_b), type=t),
-        }
+        {"a": pa.array(a[keep], type=t), "b": pa.array(b[keep], type=t)}
     )
 
 

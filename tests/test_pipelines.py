@@ -108,6 +108,38 @@ def _planted_docs(tmp_path):
     return str(d)
 
 
+def test_emit_bucket_pairs_matches_bruteforce():
+    """The size-class pair-emit kernel must produce exactly the within-bucket
+    (a < b) pairs a brute-force enumeration gives, skipping buckets > cap."""
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+
+    from crawler_ray.pipelines.dedup import _emit_bucket_pairs
+
+    rng = np.random.default_rng(7)
+    band = rng.integers(0, 3, 400)
+    bh = rng.integers(0, 12, 400)
+    doc = rng.integers(0, 40, 400)  # small id space: forces in-bucket repeats
+    cap = 6
+    got = _emit_bucket_pairs(
+        pa.table({"band": band, "bh": bh, "doc_id": doc}), cap
+    )
+    got_set = set(zip(got["a"].to_pylist(), got["b"].to_pylist()))
+    want = set()
+    buckets: dict = {}
+    for b, h, d in zip(band, bh, doc):
+        buckets.setdefault((b, h), []).append(int(d))
+    for members in buckets.values():
+        if len(members) > cap:
+            continue
+        for x, y in itertools.combinations(sorted(members), 2):
+            if x < y:  # duplicate doc ids in one bucket: no self-pair
+                want.add((x, y))
+    assert got_set == want and len(want) > 0
+
+
 def test_minhash_finds_planted_dups(ray_session, tmp_path):
     from crawler_ray.pipelines.dedup import minhash_pairs
 
