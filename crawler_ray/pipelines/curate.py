@@ -25,15 +25,108 @@ from .dedup import exact_dedup, minhash_pairs
 from .text import QualityScore
 
 
-def dup_clusters(sf_dir: str, threshold: float = 0.5):
+def _clusters_distributed(pairs, max_iters: int = 64):
+    """Connected components as DATASET-level min-label propagation — the
+    10^10-edge path where the verified pair list no longer fits one node.
+
+    labels(node→label) start at node; each iteration every node pulls the
+    min label among its neighbors via one hash-partitioned join + grouped
+    Min, then labels fold with a union+Min (no outer join needed).
+    Convergence is detected by the global label SUM: labels are int64 ids
+    that only ever decrease, so an unchanged sum ⇔ a fixed point. That sum
+    test (and Ray's join key rules) limits this path to integer doc ids;
+    string-keyed corpora use the in-memory kernel. Iterations are bounded
+    by the component diameter."""
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    from .partitions import for_rows
+
+    def sym(t: pa.Table) -> pa.Table:
+        a, b = t["a"].combine_chunks(), t["b"].combine_chunks()
+        return pa.table(
+            {
+                "node": pa.concat_arrays([a, b]),
+                "nbr": pa.concat_arrays([b, a]),
+            }
+        )
+
+    edges = pairs.select_columns(["a", "b"]).map_batches(sym, batch_format="pyarrow").materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
+        )
+    np_ = for_rows(n_edges, 1_000_000)
+
+    labels = (
+        edges.groupby("node")
+        .aggregate(Min("nbr", alias_name="drop"))
+        .map_batches(
+            lambda t: pa.table(
+                {"node": t["node"].combine_chunks(), "label": t["node"].combine_chunks()}
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+    # neighbor side keyed under a collision-free name for the join
+    nbr_labels = labels.map_batches(
+        lambda t: t.rename_columns(["nbr_key", "nbr_label"]), batch_format="pyarrow"
+    )
+    for _ in range(max_iters):
+        pulled = edges.join(
+            nbr_labels,
+            join_type="inner",
+            on=("nbr",),
+            right_on=("nbr_key",),
+            num_partitions=np_,
+        )
+        mins = (
+            pulled.groupby("node")
+            .aggregate(Min("nbr_label", alias_name="label"))
+            .select_columns(["node", "label"])
+        )
+        labels = (
+            labels.union(mins)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .select_columns(["node", "label"])
+            .materialize()
+        )
+        cur_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+        nbr_labels = labels.map_batches(
+            lambda t: t.rename_columns(["nbr_key", "nbr_label"]), batch_format="pyarrow"
+        )
+    else:
+        raise RuntimeError("dup_clusters: min-label propagation did not converge")
+    out = labels.sort("node").map_batches(
+        lambda t: t.rename_columns(["doc_id", "cluster_id"]), batch_format="pyarrow"
+    )
+    return out
+
+
+def dup_clusters(sf_dir: str, threshold: float = 0.5, distributed: bool | None = None):
     """Near-dup clusters: (doc_id, cluster_id) for every doc that appears in
     at least one verified MinHash pair; cluster_id = min doc_id in the
-    component (deterministic). Edge arrays stream from the pairs Dataset in
-    batches; connected components run as vectorized min-label propagation
-    over int-mapped ids (np.minimum.at scatter + pointer jumping — O(E·log D)
-    numpy passes, no per-edge Python). State is bounded by 2×|verified
-    pairs|, never the corpus."""
+    component (deterministic). Two engines with identical output:
+
+    * in-memory (default below ~2M pairs): edge arrays stream off the pairs
+      Dataset; numpy min-label propagation (np.minimum.at scatter + pointer
+      jumping), state bounded by 2×|verified pairs|;
+    * distributed (auto above the threshold, or ``distributed=True``):
+      Dataset-level propagation via hash-partitioned joins — no driver
+      state at all (see :func:`_clusters_distributed`)."""
     pairs = minhash_pairs(sf_dir, threshold=threshold)
+    if distributed is None:
+        pairs = pairs.materialize()
+        distributed = pairs.count() > 2_000_000
+    if distributed:
+        return _clusters_distributed(pairs)
     cols_a, cols_b = [], []
     for batch in pairs.select_columns(["a", "b"]).iter_batches(
         batch_size=65536, batch_format="pyarrow"

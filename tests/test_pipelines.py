@@ -250,6 +250,19 @@ def test_quality_and_langid_shapes(ray_session):
     assert len(l) == len(q)
 
 
+def test_dup_clusters_distributed_matches_inmemory(ray_session, tmp_path):
+    """The Dataset-level min-label propagation (the 10^10-edge path, no
+    driver state) must produce byte-identical clusters to the in-memory
+    numpy kernel."""
+    from crawler_ray.pipelines.curate import dup_clusters
+
+    sf = _planted_docs(tmp_path)
+    mem = dup_clusters(sf, threshold=0.4).to_pandas().reset_index(drop=True)
+    dist = dup_clusters(sf, threshold=0.4, distributed=True)
+    dist = (dist.to_pandas() if hasattr(dist, "to_pandas") else dist).reset_index(drop=True)
+    assert len(mem) > 0 and mem.equals(dist)
+
+
 def test_curation_composition(ray_session, tmp_path):
     """curate(): planted near-dups collapse to one representative; low-quality
     and short docs are gated out."""
