@@ -52,10 +52,14 @@ def read_corpus_table(uri: str, columns=None) -> pa.Table:
 
 
 _SHARD_CACHE_ROOT = "/tmp/crawler_ray_shards"
-_PRESHARD_MIN_BYTES = 32 << 20
+# overridable so tests can drive the engine through the pre-sharded path on
+# tiny corpora
+_PRESHARD_MIN_BYTES = int(
+    __import__("os").environ.get("CRAWLER_RAY_PRESHARD_MIN_BYTES", 32 << 20)
+)
 
 
-def ensure_sharded(uri: str, n_shards: int, min_bytes: int = _PRESHARD_MIN_BYTES) -> str:
+def ensure_sharded(uri: str, n_shards: int, min_bytes: int | None = None) -> str:
     """Pre-partition the corpus by ``hash(doc_id) % n_shards`` ONCE (a
     distributed Ray Data job, cached by (path, mtime, size, n_shards)) so
     each ``CorpusShard`` actor reads only its ``shard=K`` directory — ~1/N
@@ -72,6 +76,8 @@ def ensure_sharded(uri: str, n_shards: int, min_bytes: int = _PRESHARD_MIN_BYTES
     import os
     import shutil
 
+    if min_bytes is None:
+        min_bytes = int(os.environ.get("CRAWLER_RAY_PRESHARD_MIN_BYTES", _PRESHARD_MIN_BYTES))
     if is_lance_uri(uri) or not os.path.isfile(uri):
         return uri
     st = os.stat(uri)

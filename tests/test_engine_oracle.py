@@ -94,6 +94,16 @@ def test_distributed_path_matches_oracle(kw, fixtures, ray_session, tmp_path):
     _run_and_compare(kw, fixtures, tmp_path, small_round_threshold=0)
 
 
+def test_presharded_corpus_matches_oracle(fixtures, ray_session, tmp_path, monkeypatch):
+    """Drive the ENGINE through the pre-partitioned corpus path (threshold
+    forced to 0) — CorpusShard actors read shard=K directories and the crawl
+    must still be oracle-equal."""
+    monkeypatch.setenv("CRAWLER_RAY_PRESHARD_MIN_BYTES", "0")
+    _run_and_compare(
+        dict(url="https://site-0000.test/", sitemap=True), fixtures, tmp_path
+    )
+
+
 def test_scan_mode_stop_callback(fixtures, ray_session, tmp_path):
     """Reference 'shutdown' control semantics (client.rs:88-100): a False
     callback return aborts the crawl between rounds."""
