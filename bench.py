@@ -401,6 +401,22 @@ def main_job_only():
     ray.shutdown()
 
 
+def main_stats():
+    """Print Ray Data per-stage execution stats for two headline pipelines
+    (`ds.stats()` — where wall time actually goes: useful compute vs
+    scheduling/shuffle). Tuning loop companion, not a driver surface."""
+    ray = _init_ray()
+    _warm_workers()
+    from crawler_ray.pipelines import dedup as D
+    from crawler_ray.pipelines import relational as R
+
+    for name, fn in [("nation_revenue", R.nation_revenue), ("minhash_pairs", D.minhash_pairs)]:
+        ds = fn(SF_DIR).materialize()
+        print(f"===== {name} =====")
+        print(ds.stats())
+    ray.shutdown()
+
+
 def main_scaling():
     # pre-generate the corpus so both runs measure compute, not generation
     from crawler_ray.synth import corpus_path
@@ -441,5 +457,7 @@ if __name__ == "__main__":
         main_scaling()
     elif "--job-only" in sys.argv:
         main_job_only()
+    elif "--stats" in sys.argv:
+        main_stats()
     else:
         main_full()
