@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, threshold=0.4, n_planes=6
         ),
         "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
+        "jaccard_adjacent": D.jaccard_adjacent,
         # curation composition (quality gate → dedup → cluster → keep list)
         "dup_clusters": _lazy("crawler_ray.pipelines.curate", "dup_clusters"),
         "curate": _lazy("crawler_ray.pipelines.curate", "curate"),
@@ -134,6 +135,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": T.repetition_stats_sql(),
         "lang_id": T.lang_id_sql(),
         "exact_dedup": D.exact_dedup_sql(),
+        "jaccard_adjacent": D.jaccard_adjacent_sql(),
         "ann_bruteforce": S.ann_bruteforce_sql(),
         # media_manifest is SQL-expressible over the same corpus parquet
         "media_manifest": _media_manifest_sql(),

@@ -652,6 +652,78 @@ def _rowwise_ngram_hashes(texts: pd.Series, n: int):
     return sh[order], sdoc[order]
 
 
+def jaccard_adjacent(sf_dir: str, n: int = 3):
+    """Exact word-n-gram Jaccard for the deterministic candidate set
+    (doc_id, doc_id+1) — a SQL-expressible slice of the same verification
+    kernel :func:`ngram_jaccard_pairs` runs on LSH candidates, so the
+    DuckDB oracle value-checks the Jaccard math itself (the LSH candidate
+    sets are sketch-dependent and only rows-checkable)."""
+    import ray.data as rd
+
+    docs = _read_docs(sf_dir, ["doc_id"])
+
+    def consecutive(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({"a": pa.array(ids), "b": pa.array(ids + 1)})
+
+    last = _read_docs(sf_dir, ["doc_id"]).max("doc_id")
+    cands = docs.map_batches(consecutive, batch_format="pyarrow").filter(
+        expr=f"b <= {last}"
+    )
+    return ngram_jaccard_pairs(sf_dir, candidates=cands, n=n, threshold=0.0)
+
+
+def jaccard_adjacent_sql(n: int = 3) -> str:
+    """DuckDB equivalent: per-doc word-3-gram SET (docs with 0 < tokens < 3
+    contribute their whole joined text — distinguishable from any real
+    3-gram by space count, mirroring the engine's separately-keyed whole
+    hash; empty docs contribute nothing), then set Jaccard for every
+    consecutive doc_id pair. Engine compares 64-bit shingle hashes; string
+    equality is the same partition absent a collision."""
+    return """
+    WITH base AS (
+        SELECT doc_id,
+               CASE WHEN TRIM(text) = '' THEN []
+                    ELSE STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') END AS toks
+        FROM documents
+    ), tok AS (
+        SELECT doc_id, UNNEST(toks) AS tok, GENERATE_SUBSCRIPTS(toks, 1) AS pos
+        FROM base
+    ), grams AS (
+        SELECT doc_id,
+               tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS g
+        FROM tok
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY LEAD(tok, 2) OVER w IS NOT NULL
+        UNION ALL
+        SELECT doc_id, LIST_AGGREGATE(toks, 'string_agg', ' ') AS g
+        FROM base WHERE LEN(toks) > 0 AND LEN(toks) < 3
+    ), gsets AS (
+        SELECT doc_id, COUNT(DISTINCT g) AS n_g FROM grams GROUP BY doc_id
+    ), pairs AS (
+        SELECT d.doc_id AS a, d.doc_id + 1 AS b
+        FROM documents d
+        WHERE d.doc_id + 1 <= (SELECT MAX(doc_id) FROM documents)
+    ), inter AS (
+        SELECT p.a, p.b, COUNT(DISTINCT ga.g) AS n_i
+        FROM pairs p
+        JOIN grams ga ON ga.doc_id = p.a
+        JOIN grams gb ON gb.doc_id = p.b AND gb.g = ga.g
+        GROUP BY p.a, p.b
+    )
+    SELECT p.a, p.b,
+           ROUND(
+               CASE WHEN COALESCE(sa.n_g, 0) + COALESCE(sb.n_g, 0) - COALESCE(i.n_i, 0) > 0
+                    THEN COALESCE(i.n_i, 0)::DOUBLE /
+                         (COALESCE(sa.n_g, 0) + COALESCE(sb.n_g, 0) - COALESCE(i.n_i, 0))
+                    ELSE 0.0 END, 6) AS jaccard
+    FROM pairs p
+    LEFT JOIN gsets sa ON sa.doc_id = p.a
+    LEFT JOIN gsets sb ON sb.doc_id = p.b
+    LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+    """
+
+
 def ngram_jaccard_pairs(sf_dir: str, candidates=None, n: int = 3, threshold: float = 0.4):
     """Exact word-n-gram Jaccard over candidate pairs (default: MinHash
     candidates) — the verification-grade near-dup measure. Candidate pairs are
@@ -688,7 +760,11 @@ def ngram_jaccard_pairs(sf_dir: str, candidates=None, n: int = 3, threshold: flo
         both, cnt = np.unique(np.concatenate([ua, ub]), return_counts=True)
         inter = np.bincount(both["i"][cnt == 2], minlength=m)
         union = na + nb - inter
-        j = np.round(np.where(union > 0, inter / np.maximum(union, 1), 0.0), 6)
+        from .rounding import round_np
+
+        # half-away rounding (DuckDB ROUND parity — exact-.5 values like
+        # 1/128 at 6 digits otherwise split between the engines)
+        j = round_np(np.where(union > 0, inter / np.maximum(union, 1), 0.0), 6)
         out = pa.table(
             {
                 "a": t["a"].combine_chunks(),
