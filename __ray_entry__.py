@@ -98,6 +98,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing
         "media_manifest": M.media_manifest,
         "media_features": M.media_features,
+        "media_resize": M.media_resize,
+        "media_frames": M.media_frames,
     }
 
 

@@ -12,6 +12,7 @@ replacing one method.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -85,6 +86,105 @@ def media_features(sf_dir: str):
     are payload-heavy in real corpora), pool sized explicitly."""
     return media_manifest(sf_dir).map_batches(
         MediaDecodeStub,
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=2,
+        num_cpus=1,
+    )
+
+
+class MediaResizeStub:
+    """Actor-pool resize stage (image path of the multimodal family). Real
+    mode would decode → resize → re-encode via PIL; the sandbox stub derives
+    deterministic source dimensions from the ref hash and emits the
+    post-resize metadata the downstream schema needs — the Ray plumbing
+    (actor signature, batch size, output layout) is the real contract."""
+
+    def __init__(self, target: int = 256, real: bool = False):
+        self.target = target
+        self.real = real
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        refs = t["media_ref"].combine_chunks().to_numpy(zero_copy_only=False)
+        if self.real:
+            raise NotImplementedError(
+                "image resize needs PIL/torchvision, absent in this environment"
+            )
+        h = stable_hash64(refs)
+        src_w = (h % np.uint64(3840) + np.uint64(64)).astype(np.int64)
+        src_h = ((h >> np.uint64(17)) % np.uint64(2160) + np.uint64(64)).astype(np.int64)
+        scale = self.target / np.maximum(src_w, src_h)
+        scale = np.minimum(scale, 1.0)  # never upscale
+        out_w = np.maximum((src_w * scale).astype(np.int64), 1)
+        out_h = np.maximum((src_h * scale).astype(np.int64), 1)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks(),
+                "media_ref": t["media_ref"].combine_chunks(),
+                "src_w": pa.array(src_w),
+                "src_h": pa.array(src_h),
+                "out_w": pa.array(out_w),
+                "out_h": pa.array(out_h),
+                "is_stub": pa.array(np.ones(len(t), dtype=bool)),
+            }
+        )
+
+
+def media_resize(sf_dir: str, target: int = 256):
+    """Manifest → actor-pool resize metadata stage."""
+    return media_manifest(sf_dir).map_batches(
+        MediaResizeStub,
+        fn_constructor_kwargs={"target": target},
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=2,
+        num_cpus=1,
+    )
+
+
+class MediaFrameSampleStub:
+    """Actor-pool frame-sampling stage (video path): each media ref expands
+    to ``n_frames`` evenly-spaced frame references with timestamps over a
+    deterministic stub duration (real mode = ffmpeg keyframe extraction).
+    One input row → n output rows, the flat_map-shaped transform a video
+    pipeline needs."""
+
+    def __init__(self, n_frames: int = 4, real: bool = False):
+        self.n_frames = n_frames
+        self.real = real
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        refs = t["media_ref"].combine_chunks().to_numpy(zero_copy_only=False)
+        if self.real:
+            raise NotImplementedError(
+                "frame extraction needs ffmpeg, absent in this environment"
+            )
+        k = self.n_frames
+        n = len(refs)
+        h = stable_hash64(refs)
+        duration_ms = (h % np.uint64(600_000) + np.uint64(1_000)).astype(np.int64)
+        frame_idx = np.tile(np.arange(k, dtype=np.int64), n)
+        ts_ms = (np.repeat(duration_ms, k) * (frame_idx * 2 + 1)) // (2 * k)
+        rep = np.repeat(np.arange(n), k)
+        frame_ref = pd.Series(np.repeat(refs, k)).str.cat(
+            pd.Series(frame_idx.astype(str)), sep="#frame-"
+        )
+        return pa.table(
+            {
+                "doc_id": pc.take(t["doc_id"].combine_chunks(), pa.array(rep)),
+                "media_ref": pa.array(np.repeat(refs, k), pa.string()),
+                "frame_ref": pa.array(frame_ref.to_numpy(dtype=object), pa.string()),
+                "frame_idx": pa.array(frame_idx),
+                "ts_ms": pa.array(ts_ms),
+            }
+        )
+
+
+def media_frames(sf_dir: str, n_frames: int = 4):
+    """Manifest → actor-pool frame-sample stage (1 row → n_frames rows)."""
+    return media_manifest(sf_dir).map_batches(
+        MediaFrameSampleStub,
+        fn_constructor_kwargs={"n_frames": n_frames},
         batch_format="pyarrow",
         batch_size=1024,
         concurrency=2,

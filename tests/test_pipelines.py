@@ -263,6 +263,30 @@ def test_dup_clusters_distributed_matches_inmemory(ray_session, tmp_path):
     assert len(mem) > 0 and mem.equals(dist)
 
 
+def test_media_resize_and_frames(ray_session):
+    """Multimodal actor-pool stages: resize never upscales and respects the
+    target box; frame sampling expands every media row to n_frames ordered
+    frame refs; both deterministic across runs."""
+    from crawler_ray.pipelines.multimodal import media_frames, media_manifest, media_resize
+
+    sf = "/root/testdata/sf0.001"
+    n_media = media_manifest(sf).count()
+    r = media_resize(sf, target=128).to_pandas()
+    assert len(r) == n_media
+    assert (r[["out_w", "out_h"]].max(axis=1) <= 128).all()
+    assert ((r["out_w"] <= r["src_w"]) & (r["out_h"] <= r["src_h"])).all()
+    r2 = media_resize(sf, target=128).to_pandas()
+    assert r.sort_values(["doc_id", "media_ref"]).reset_index(drop=True).equals(
+        r2.sort_values(["doc_id", "media_ref"]).reset_index(drop=True)
+    )
+
+    f = media_frames(sf, n_frames=3).to_pandas()
+    assert len(f) == 3 * n_media
+    one = f[f["media_ref"] == f["media_ref"].iloc[0]].sort_values("frame_idx")
+    assert list(one["frame_idx"])[:3] == [0, 1, 2]
+    assert one["ts_ms"].is_monotonic_increasing
+
+
 def test_curation_composition(ray_session, tmp_path):
     """curate(): planted near-dups collapse to one representative; low-quality
     and short docs are gated out."""
