@@ -224,8 +224,6 @@ def _bucket_pairs_by_join(bands, cap: int = _BUCKET_CAP, num_partitions: int | N
     aggregate whose reduce merges every map fragment of a partition in one
     task (see partitions.agg_partitions); the formula widens with data at
     10^10 rows."""
-    from ray.data.aggregate import Count
-
     from .partitions import cluster_cap, for_rows
 
     bands = bands.materialize()
@@ -249,11 +247,44 @@ def _bucket_pairs_by_join(bands, cap: int = _BUCKET_CAP, num_partitions: int | N
             batch_format="pyarrow",
         )
     )
+
+    # distinct (a, b): same pkey+kernel pattern as exact_dedup — Ray's sort
+    # aggregate pays per-group constants on up to |pairs| groups
+    def add_pair_pkey(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        if a.dtype == object:
+            ha = stable_hash64(a)
+            hb = stable_hash64(b)
+        else:
+            ha = a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            hb = b.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+        pkey = (((ha ^ hb) >> np.uint64(17)) % np.uint64(num_partitions)).astype(np.int64)
+        return t.append_column("pkey2", pa.array(pkey))
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            kt = t.schema.field("a").type
+            return pa.table({"a": pa.array([], kt), "b": pa.array([], kt)})
+        a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        first = np.empty(len(a), dtype=bool)
+        first[0] = True
+        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        kt = t.schema.field("a").type
+        return pa.table(
+            {"a": pa.array(a[first], type=kt), "b": pa.array(b[first], type=kt)}
+        )
+
     return (
-        pairs.repartition(num_partitions)
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="n"))
-        .select_columns(["a", "b"])
+        pairs.map_batches(add_pair_pkey, batch_format="pyarrow")
+        .groupby("pkey2")
+        .map_groups(
+            lambda part: distinct_pairs(part.drop_columns(["pkey2"])),
+            batch_format="pyarrow",
+        )
     )
 
 
