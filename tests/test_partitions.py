@@ -1,0 +1,47 @@
+"""Data-derived shuffle partition counts (pipelines/partitions.py): floors,
+caps, and the join-vs-aggregate floor asymmetry the sf0.1 measurements pinned
+(joins densest at 1 partition; sort-aggregate reduces need ≥8 parallel
+merges)."""
+
+import numpy as np
+
+from crawler_ray.pipelines import partitions as P
+
+
+def test_for_bytes_floor_and_growth():
+    assert P.for_bytes(0, P.TARGET_JOIN_BYTES) == 1
+    assert P.for_bytes(P.TARGET_JOIN_BYTES, P.TARGET_JOIN_BYTES) == 1
+    assert P.for_bytes(P.TARGET_JOIN_BYTES + 1, P.TARGET_JOIN_BYTES) == 2
+    # cap: never wider than the cluster
+    assert P.for_bytes(1 << 60, P.TARGET_JOIN_BYTES) == P.cluster_cap()
+
+
+def test_for_rows_ceil_division():
+    assert P.for_rows(0, 1_000_000) == 1
+    assert P.for_rows(1_000_000, 1_000_000) == 1
+    assert P.for_rows(1_000_001, 1_000_000) == 2
+    assert P.for_rows(10, 1_000_000, floor=8) == 8
+
+
+def test_join_vs_agg_floors(tmp_path):
+    # tiny table: joins collapse to ONE dense partition, aggregates keep the
+    # parallel-merge floor
+    f = tmp_path / "t.parquet"
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({"x": np.arange(100)}), str(f))
+    assert P.join_partitions(str(tmp_path), "t") == 1
+    assert P.agg_partitions(str(tmp_path), "t") == min(8, P.cluster_cap())
+
+
+def test_monotone_in_bytes(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    small = tmp_path / "s.parquet"
+    pq.write_table(pa.table({"x": np.arange(10)}), str(small))
+    n_small = P.join_partitions(str(tmp_path), "s")
+    assert 1 <= n_small <= P.cluster_cap()
+    # formula is a ceil-divide: more bytes can never mean fewer partitions
+    assert P.for_bytes(10 * P.TARGET_JOIN_BYTES, P.TARGET_JOIN_BYTES) >= n_small
