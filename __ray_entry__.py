@@ -73,6 +73,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": T.token_stats,
         "fingerprints": T.fingerprints,
         "winnow_fingerprints": T.winnow_fingerprints,
+        "winnow_overlap_pairs": T.winnow_overlap_pairs,
+        # decontamination demo: three corpus texts act as the "benchmark"
+        # set; their source docs must be flagged (pytest pins semantics)
+        "decontaminate": _decontaminate_demo,
         "repetition_stats": T.repetition_stats,
         "lang_id": T.lang_id,
         "quality": T.quality,
@@ -144,6 +148,20 @@ def oracle_sql() -> dict[str, str]:
         # lang_id, minhash/simhash/embedding/ngram pairs, ann_lsh,
         # media_features: sketch-based or heuristic — rows-only checks.
     }
+
+
+def _decontaminate_demo(sf_dir):
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.text import decontaminate
+
+    texts = (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+        .column("text")
+        .to_pylist()
+    )
+    evals = [texts[i] for i in (5, 50, 200) if i < len(texts)]
+    return decontaminate(sf_dir, evals)
 
 
 def _export_curated_fresh(sf_dir):

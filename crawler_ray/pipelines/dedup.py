@@ -179,6 +179,13 @@ def _emit_bucket_pairs(part: pa.Table, cap: int) -> pa.Table:
     doc = part["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
     order = np.lexsort((doc, bh, band))
     band, bh, doc = band[order], bh[order], doc[order]
+    # drop repeated (bucket, doc) rows — a member counts once per bucket
+    # (the band exploders never repeat, but e.g. winnowing emits one row per
+    # fingerprint POSITION)
+    uniq = np.empty(len(doc), dtype=bool)
+    uniq[0] = True
+    uniq[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1]) | (doc[1:] != doc[:-1])
+    band, bh, doc = band[uniq], bh[uniq], doc[uniq]
     n = len(doc)
     boundary = np.empty(n, dtype=bool)
     boundary[0] = True
@@ -209,8 +216,15 @@ def _emit_bucket_pairs(part: pa.Table, cap: int) -> pa.Table:
     )
 
 
-def _bucket_pairs_by_join(bands, cap: int = _BUCKET_CAP, num_partitions: int | None = None):
-    """(band, bh, doc_id) rows → distinct candidate pairs (a < b).
+def _bucket_pairs_by_join(
+    bands,
+    cap: int = _BUCKET_CAP,
+    num_partitions: int | None = None,
+    count_shared: bool = False,
+):
+    """(band, bh, doc_id) rows → distinct candidate pairs (a < b); with
+    ``count_shared`` the output carries a ``shared`` column = number of
+    buckets the pair co-occurred in (winnowing overlap counts).
 
     One hash shuffle on the bucket key (coarse pkey partitions — every row
     of a bucket lands in one partition) + a vectorized within-partition
@@ -263,9 +277,12 @@ def _bucket_pairs_by_join(bands, cap: int = _BUCKET_CAP, num_partitions: int | N
         return t.append_column("pkey2", pa.array(pkey))
 
     def distinct_pairs(t: pa.Table) -> pa.Table:
+        kt = t.schema.field("a").type
         if len(t) == 0:
-            kt = t.schema.field("a").type
-            return pa.table({"a": pa.array([], kt), "b": pa.array([], kt)})
+            cols = {"a": pa.array([], kt), "b": pa.array([], kt)}
+            if count_shared:
+                cols["shared"] = pa.array([], pa.int64())
+            return pa.table(cols)
         a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
         b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
         order = np.lexsort((b, a))
@@ -273,10 +290,11 @@ def _bucket_pairs_by_join(bands, cap: int = _BUCKET_CAP, num_partitions: int | N
         first = np.empty(len(a), dtype=bool)
         first[0] = True
         first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-        kt = t.schema.field("a").type
-        return pa.table(
-            {"a": pa.array(a[first], type=kt), "b": pa.array(b[first], type=kt)}
-        )
+        cols = {"a": pa.array(a[first], type=kt), "b": pa.array(b[first], type=kt)}
+        if count_shared:
+            starts = np.flatnonzero(first)
+            cols["shared"] = pa.array(np.diff(np.append(starts, len(a))))
+        return pa.table(cols)
 
     return (
         pairs.map_batches(add_pair_pkey, batch_format="pyarrow")

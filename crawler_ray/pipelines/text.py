@@ -302,6 +302,16 @@ def winnow_fingerprints(sf_dir: str, k: int = 5, window: int = 4):
     pos). Rows-only for the driver (selection positions are not
     SQL-expressible); pytest pins overlap detection on planted shared
     passages."""
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _winnow_batch_kernel(k, window), batch_format="pandas", batch_size=4096
+    )
+
+
+def _winnow_batch_kernel(k: int, window: int):
+    """(doc_id, text) pandas batch → (doc_id, fingerprint, pos) Arrow table —
+    the pure winnowing kernel, shared by :func:`winnow_fingerprints` (as a
+    map_batches stage) and :func:`decontaminate` (driver-side on the tiny
+    eval set)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -368,9 +378,7 @@ def winnow_fingerprints(sf_dir: str, k: int = 5, window: int = 4):
             }
         )
 
-    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        fn, batch_format="pandas", batch_size=4096
-    )
+    return fn
 
 
 # --------------------------------------------------------------------------- #
@@ -470,3 +478,108 @@ def repetition_stats_sql() -> str:
            ROUND(LEAST(2.0 * COALESCE(dup.dupsum, 0) / GREATEST(nt.n_tokens, 1), 1.0), 6) AS dup_2gram_frac
     FROM nt LEFT JOIN tc USING (doc_id) LEFT JOIN dup USING (doc_id)
     """
+
+
+# --------------------------------------------------------------------------- #
+def winnow_overlap_pairs(sf_dir: str, k: int = 5, window: int = 4, min_shared: int = 3):
+    """Cross-document passage-overlap pairs from winnowing fingerprints —
+    the contamination/plagiarism detector a training corpus needs: two docs
+    sharing a substring of length ≥ k+window-1 share at least one
+    fingerprint (the winnowing guarantee), and ``min_shared`` distinct
+    shared fingerprints gates out chance hash agreement.
+
+    Shape: fingerprints → one hash shuffle on the fingerprint (the same
+    coarse-pkey + vectorized pair-emit kernel as the LSH family; a
+    fingerprint shared by > 128 docs is boilerplate, skipped by the bucket
+    cap) → per-pair distinct-fingerprint counts → filter. Returns
+    (a, b, shared) with a < b."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .dedup import _bucket_pairs_by_join
+
+    fps = winnow_fingerprints(sf_dir, k=k, window=window)
+
+    def as_buckets(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table(
+            {
+                "band": pa.array(np.zeros(n, dtype=np.int64)),
+                "bh": t["fingerprint"].combine_chunks(),
+                "doc_id": t["doc_id"].combine_chunks(),
+            }
+        )
+
+    # the pair kernel dedupes repeated (fingerprint, doc) rows itself, so a
+    # fingerprint selected at several positions of one doc counts once
+    pairs = _bucket_pairs_by_join(
+        fps.map_batches(as_buckets, batch_format="pyarrow"), count_shared=True
+    )
+    return pairs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["shared"], min_shared)),
+        batch_format="pyarrow",
+    )
+
+
+def decontaminate(sf_dir: str, eval_texts, k: int = 5, window: int = 4, min_shared: int = 2):
+    """Eval-set decontamination: flag corpus documents sharing winnowing
+    fingerprints with a (small) benchmark/eval text set — the standard
+    n-gram-overlap contamination gate run before training.
+
+    The eval side is fingerprinted ON THE DRIVER (benchmarks are tiny) and
+    broadcast once via ``ray.put``; each corpus batch then checks membership
+    with one vectorized ``np.isin`` — no shuffle at all. Returns
+    (doc_id, shared) for flagged docs (shared = distinct fingerprints in
+    common, ≥ ``min_shared``)."""
+    import ray
+    import pyarrow as pa
+
+    # fingerprint the eval set with the SAME kernel, driver-side (tiny)
+    eval_df = pd.DataFrame(
+        {"doc_id": np.arange(len(eval_texts), dtype=np.int64), "text": list(eval_texts)}
+    )
+    fp_ds = winnow_fingerprints(sf_dir, k=k, window=window)
+    kernel = _winnow_batch_kernel(k, window)
+    eval_fps = np.unique(
+        kernel(eval_df)["fingerprint"].to_numpy(zero_copy_only=False)
+    )
+    ref = ray.put(eval_fps)
+
+    def flag(t: pa.Table) -> pa.Table:
+        ev = ray.get(ref)
+        fp = t["fingerprint"].combine_chunks().to_numpy(zero_copy_only=False)
+        doc = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        hit = np.isin(fp, ev)
+        if not hit.any():
+            return pa.table(
+                {
+                    "doc_id": pa.array([], t.schema.field("doc_id").type),
+                    "fingerprint": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {"doc_id": pa.array(doc[hit]), "fingerprint": pa.array(fp[hit])}
+        )
+
+    flagged = fp_ds.map_batches(flag, batch_format="pyarrow")
+
+    def count_shared(df: pd.DataFrame) -> pd.DataFrame:
+        u = df.drop_duplicates(["doc_id", "fingerprint"])
+        c = u.groupby("doc_id").size().reset_index(name="shared")
+        return c[c["shared"] >= min_shared]
+
+    # flagged rows are a tiny fraction of the corpus; group globally via
+    # the coarse-pkey pattern (a doc's fingerprints are NOT batch-complete)
+    def add_pkey(t: pa.Table) -> pa.Table:
+        doc = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        pk = (doc.astype(np.uint64) % np.uint64(8)).astype(np.int64)
+        return t.append_column("pkey", pa.array(pk))
+
+    return (
+        flagged.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(
+            lambda df: count_shared(df.drop(columns=["pkey"])),
+            batch_format="pandas",
+        )
+    )

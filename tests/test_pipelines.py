@@ -132,11 +132,11 @@ def test_emit_bucket_pairs_matches_bruteforce():
     for b, h, d in zip(band, bh, doc):
         buckets.setdefault((b, h), []).append(int(d))
     for members in buckets.values():
-        if len(members) > cap:
+        distinct = sorted(set(members))  # a member counts once per bucket
+        if len(distinct) > cap:
             continue
-        for x, y in itertools.combinations(sorted(members), 2):
-            if x < y:  # duplicate doc ids in one bucket: no self-pair
-                want.add((x, y))
+        for x, y in itertools.combinations(distinct, 2):
+            want.add((x, y))
     assert got_set == want and len(want) > 0
 
 
@@ -411,6 +411,41 @@ def test_winnowing_shared_passage(ray_session, tmp_path):
     assert by_doc[0] & by_doc[1], "shared passage must share a fingerprint"
     assert not (by_doc[0] & by_doc[2])
     assert not (by_doc[1] & by_doc[2])
+
+
+def test_winnow_overlap_and_decontaminate(ray_session, tmp_path):
+    """Contamination detection on planted overlap: docs sharing a long
+    passage surface as an overlap pair; decontaminate() flags exactly the
+    corpus docs overlapping the 'benchmark' texts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.text import decontaminate, winnow_overlap_pairs
+
+    shared = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lamda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    rows = {
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "intro words here " + shared + " tail one two three",
+            "completely other opening " + shared + " different closing words",
+            "nothing in common with those documents at all whatsoever truly",
+            "fully disjoint content again with its own private tokens only",
+        ],
+    }
+    d = tmp_path / "contam"
+    d.mkdir()
+    pq.write_table(pa.table(rows), str(d / "documents.parquet"))
+
+    pairs = to_df(winnow_overlap_pairs(str(d), min_shared=2))
+    assert set(zip(pairs["a"], pairs["b"])) == {(0, 1)}
+    assert (pairs["shared"] >= 2).all()
+
+    # benchmark set = one text containing the shared passage
+    flagged = to_df(decontaminate(str(d), ["prefix " + shared + " suffix"], min_shared=2))
+    assert set(flagged["doc_id"]) == {0, 1}
 
 
 def test_repetition_stats_planted(ray_session, tmp_path):
