@@ -571,8 +571,11 @@ def decontaminate(sf_dir: str, eval_texts, k: int = 5, window: int = 4, min_shar
     # flagged rows are a tiny fraction of the corpus; group globally via
     # the coarse-pkey pattern (a doc's fingerprints are NOT batch-complete)
     def add_pkey(t: pa.Table) -> pa.Table:
+        from ..state.seen import stable_hash64
+
         doc = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
-        pk = (doc.astype(np.uint64) % np.uint64(8)).astype(np.int64)
+        h = stable_hash64(doc) if doc.dtype == object else doc.astype(np.uint64)
+        pk = (h % np.uint64(8)).astype(np.int64)
         return t.append_column("pkey", pa.array(pk))
 
     return (
