@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_curated": _export_curated_fresh,
         # similarity search
         "ann_bruteforce": S.ann_bruteforce,
+        "bm25_topk": S.bm25_topk,
         "ann_lsh": S.ann_lsh,
         "ann_ivf": S.ann_ivf,
         # multimodal plumbing
@@ -143,6 +144,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": D.exact_dedup_sql(),
         "jaccard_adjacent": D.jaccard_adjacent_sql(),
         "ann_bruteforce": S.ann_bruteforce_sql(),
+        "bm25_topk": S.bm25_topk_sql(),
         # media_manifest is SQL-expressible over the same corpus parquet
         "media_manifest": _media_manifest_sql(),
         # lang_id, minhash/simhash/embedding/ngram pairs, ann_lsh,

@@ -238,3 +238,133 @@ def ann_ivf(
         return g[["qid", "vec_id", "rank", "score"]]
 
     return cands.groupby("qid").map_groups(final_topk, batch_format="pandas")
+
+# --------------------------------------------------------------------------- #
+# Lexical retrieval: BM25 top-k over the documents table — the query-relevance
+# scorer a training-data pipeline uses for targeted mining / quality weighting.
+
+_BM25_QUERY = "table scan hash join"
+
+
+def bm25_topk(sf_dir: str, query: str = _BM25_QUERY, k: int = 10, k1: float = 1.2, b: float = 0.75):
+    """Okapi BM25 over whitespace tokens, two passes, both distributed:
+
+    1. corpus stats — one combiner batch per block collapses to (n_docs,
+       sum_dl, df per query term), reduced with ``Dataset.sum`` (query terms
+       are FEW, so per-term document frequencies ride the same combiner; no
+       global vocabulary is built);
+    2. scoring — stats broadcast in the closure, per-batch vectorized tf +
+       score, per-batch partial top-k, one final merge (top-k per batch ⊇
+       global top-k).
+
+    Deterministic output (rank by rounded score desc, doc_id asc); the
+    DuckDB oracle recomputes everything from the table with the identical
+    floating-point expression ordering."""
+    import ray.data as rd
+
+    seen: set = set()
+    terms = [t for t in query.lower().split() if not (t in seen or seen.add(t))]
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def stats_batch(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        toks = df["text"].fillna("").str.lower().str.split()
+        dl = toks.str.len().to_numpy(dtype=np.int64)
+        ex = toks.explode()
+        ex = ex[ex.notna()]
+        out = {"n_docs": [len(df)], "sum_dl": [int(dl.sum())]}
+        for i, t in enumerate(terms):
+            out[f"df_{i}"] = [int(ex[ex == t].index.nunique())]
+        return pd.DataFrame(out)
+
+    agg = docs.map_batches(stats_batch, batch_format="pandas", batch_size=16384).sum(
+        ["n_docs", "sum_dl"] + [f"df_{i}" for i in range(len(terms))]
+    )
+    n = agg["sum(n_docs)"]
+    avgdl = agg["sum(sum_dl)"] / n
+    idf = np.array(
+        [
+            np.log(1 + (n - agg[f"sum(df_{i})"] + 0.5) / (agg[f"sum(df_{i})"] + 0.5))
+            for i in range(len(terms))
+        ]
+    )
+
+    def score_batch(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        toks = df["text"].fillna("").str.lower().str.split()
+        dl = toks.str.len().to_numpy(dtype=np.float64)
+        ex = toks.explode()
+        ex = ex[ex.notna()]
+        score = np.zeros(len(df))
+        for i, t in enumerate(terms):
+            tf = np.zeros(len(df))
+            if len(ex):
+                hits = ex[ex == t].groupby(level=0).size()
+                tf[hits.index.to_numpy()] = hits.to_numpy()
+            # expression order mirrors the SQL oracle exactly
+            score = score + idf[i] * (tf * (k1 + 1)) / (
+                tf + k1 * (1 - b + (b * dl) / avgdl)
+            )
+        out = pd.DataFrame({"doc_id": df["doc_id"], "score": round_np(score, 6)})
+        return out.sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
+
+    cands = docs.map_batches(score_batch, batch_format="pandas", batch_size=16384)
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
+        return g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))[
+            ["doc_id", "rank", "score"]
+        ]
+
+    return cands.repartition(1).map_batches(
+        final_topk, batch_format="pandas", batch_size=None
+    )
+
+
+def bm25_topk_sql(query: str = _BM25_QUERY, k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    seen: set = set()
+    terms = [t for t in query.lower().split() if not (t in seen or seen.add(t))]
+    tf_cols = ",\n               ".join(
+        f"LEN(LIST_FILTER(toks, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n               ".join(
+        f"(SELECT COUNT(*) FROM base WHERE LEN(LIST_FILTER(toks, x -> x = '{t}')) > 0) AS df_{i}"
+        for i, t in enumerate(terms)
+    )
+    score_expr = "\n               + ".join(
+        f"LN(1 + ((SELECT n FROM stats) - (SELECT df_{i} FROM dfs) + 0.5)"
+        f" / ((SELECT df_{i} FROM dfs) + 0.5))"
+        f" * (tf_{i} * ({k1} + 1))"
+        f" / (tf_{i} + {k1} * (1 - {b} + ({b} * dl) / (SELECT avgdl FROM stats)))"
+        for i in range(len(terms))
+    )
+    return f"""
+    WITH base AS (
+        SELECT doc_id,
+               CASE WHEN TRIM(text) = '' THEN []
+                    ELSE STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') END AS toks
+        FROM documents
+    ), stats AS (
+        SELECT COUNT(*)::DOUBLE AS n,
+               SUM(LEN(toks))::DOUBLE / COUNT(*) AS avgdl
+        FROM base
+    ), dfs AS (
+        SELECT {df_cols}
+    ), per_doc AS (
+        SELECT doc_id, LEN(toks)::DOUBLE AS dl,
+               {tf_cols}
+        FROM base
+    ), scored AS (
+        SELECT doc_id,
+               ROUND({score_expr}, 6) AS score
+        FROM per_doc
+    )
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+           score
+    FROM scored
+    QUALIFY rank <= {k}
+    """

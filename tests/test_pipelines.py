@@ -413,6 +413,32 @@ def test_winnowing_shared_passage(ray_session, tmp_path):
     assert not (by_doc[1] & by_doc[2])
 
 
+def test_bm25_ranks_planted_relevant_doc_first(ray_session, tmp_path):
+    """BM25: the doc containing every query term (twice) outranks docs with
+    partial or no overlap; ranks are 1-based and deterministic."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.similarity import bm25_topk
+
+    rows = {
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "alpha beta alpha beta filler words here",   # all terms, high tf
+            "alpha filler words with one term only now",  # partial
+            "no relevant words at all in this one",
+            "beta appears once in this other document",
+        ],
+    }
+    d = tmp_path / "bm25"
+    d.mkdir()
+    pq.write_table(pa.table(rows), str(d / "documents.parquet"))
+    top = to_df(bm25_topk(str(d), query="alpha beta", k=3))
+    assert list(top["rank"]) == [1, 2, 3]
+    assert top.iloc[0]["doc_id"] == 0
+    assert top.iloc[0]["score"] > top.iloc[1]["score"]
+
+
 def test_winnow_overlap_and_decontaminate(ray_session, tmp_path):
     """Contamination detection on planted overlap: docs sharing a long
     passage surface as an overlap pair; decontaminate() flags exactly the
