@@ -340,6 +340,7 @@ def query_suite() -> dict:
         ("exact_dedup", D.exact_dedup),
         ("minhash_pairs", D.minhash_pairs),
         ("ann_bruteforce", S.ann_bruteforce),
+        ("bm25_topk", S.bm25_topk),
         ("corpus_links", C.corpus_links),
     ]:
         t0 = time.time()
