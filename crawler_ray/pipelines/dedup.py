@@ -174,6 +174,9 @@ def _emit_bucket_pairs(part: pa.Table, cap: int) -> pa.Table:
     still pair through other bands). Arrow in/out — a pandas output here
     made the downstream distinct groupby run on pandas blocks, ~10×
     slower than the Arrow sort path."""
+    if len(part) == 0:
+        kt = part.schema.field("doc_id").type
+        return pa.table({"a": pa.array([], kt), "b": pa.array([], kt)})
     band = part["band"].combine_chunks().to_numpy(zero_copy_only=False)
     bh = part["bh"].combine_chunks().to_numpy(zero_copy_only=False)
     doc = part["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
