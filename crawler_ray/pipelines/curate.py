@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .dedup import exact_dedup, minhash_pairs
 from .text import QualityScore
@@ -31,12 +32,15 @@ def _clusters_distributed(pairs, max_iters: int = 64):
 
     labels(node→label) start at node; each iteration every node pulls the
     min label among its neighbors via one hash-partitioned join + grouped
-    Min, then labels fold with a union+Min (no outer join needed).
-    Convergence is detected by the global label SUM: labels are int64 ids
-    that only ever decrease, so an unchanged sum ⇔ a fixed point. That sum
-    test (and Ray's join key rules) limits this path to integer doc ids;
-    string-keyed corpora use the in-memory kernel. Iterations are bounded
-    by the component diameter."""
+    Min, then POINTER-JUMPS (label ← label-of-label via a second join) and
+    folds with a union+Min (no outer join needed). Jumping makes the
+    iteration count O(log diameter) — a pure neighbor-pull needs a full
+    diameter of rounds, and near-dup chains (sliding boilerplate) make long
+    paths the common worst case. Convergence is detected by the global
+    label SUM: labels are int64 ids that only ever decrease, so an
+    unchanged sum ⇔ a fixed point. That sum test (and Ray's join key
+    rules) limits this path to integer doc ids; string-keyed corpora use
+    the in-memory kernel."""
     import ray.data as rd
     from ray.data.aggregate import Min, Sum
 
@@ -95,6 +99,30 @@ def _clusters_distributed(pairs, max_iters: int = 64):
             .select_columns(["node", "label"])
             .materialize()
         )
+        # pointer jump: label ← label[label] (one join against labels keyed
+        # by node) — collapses chains logarithmically
+        jump_side = labels.map_batches(
+            lambda t: t.rename_columns(["jump_key", "jump_label"]),
+            batch_format="pyarrow",
+        )
+        jumped = labels.join(
+            jump_side,
+            join_type="inner",
+            on=("label",),
+            right_on=("jump_key",),
+            num_partitions=np_,
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"].combine_chunks(),
+                    "label": pc.min_element_wise(
+                        t["label"].combine_chunks(), t["jump_label"].combine_chunks()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        labels = jumped.materialize()
         cur_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
         if cur_sum == prev_sum:
             break
@@ -121,11 +149,18 @@ def dup_clusters(sf_dir: str, threshold: float = 0.5, distributed: bool | None =
     * distributed (auto above the threshold, or ``distributed=True``):
       Dataset-level propagation via hash-partitioned joins — no driver
       state at all (see :func:`_clusters_distributed`)."""
-    pairs = minhash_pairs(sf_dir, threshold=threshold)
+    pairs = minhash_pairs(sf_dir, threshold=threshold).materialize()
+    key_is_int = pa.types.is_integer(pairs.schema().types[0])
     if distributed is None:
-        pairs = pairs.materialize()
-        distributed = pairs.count() > 2_000_000
+        # the distributed engine needs integer ids (its convergence test is
+        # an integer label sum); string-keyed corpora stay in-memory
+        distributed = key_is_int and pairs.count() > 2_000_000
     if distributed:
+        if not key_is_int:
+            raise ValueError(
+                "dup_clusters distributed path requires integer doc ids "
+                "(label-sum convergence test); use the in-memory engine"
+            )
         return _clusters_distributed(pairs)
     cols_a, cols_b = [], []
     for batch in pairs.select_columns(["a", "b"]).iter_batches(
@@ -201,8 +236,22 @@ def curate(sf_dir: str, min_tokens: int = 5, min_quality: float = 0.3, near_dup_
     # non-self representative. The drop list is bounded by the verified pair
     # list → broadcast anti-filter (the documented small-side pattern)
     clusters = dup_clusters(sf_dir, threshold=near_dup_threshold)
-    mask = np.asarray(clusters["doc_id"]) != np.asarray(clusters["cluster_id"])
-    drop_near = np.asarray(clusters["doc_id"])[mask]
+    if isinstance(clusters, pa.Table):
+        mask = np.asarray(clusters["doc_id"]) != np.asarray(clusters["cluster_id"])
+        drop_near = np.asarray(clusters["doc_id"])[mask]
+    else:
+        # distributed path returns a Dataset — filter the non-representatives
+        # distributed-side and collect only the (bounded) drop list
+        drop_near = (
+            clusters.map_batches(
+                lambda t: t.filter(
+                    pc.not_equal(t["doc_id"], t["cluster_id"])
+                ).select(["doc_id"]),
+                batch_format="pyarrow",
+            )
+            .to_pandas()["doc_id"]
+            .to_numpy()
+        )
 
     def drop(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)

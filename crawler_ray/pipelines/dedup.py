@@ -774,9 +774,11 @@ def jaccard_adjacent_sql(n: int = 3) -> str:
     ), gsets AS (
         SELECT doc_id, COUNT(DISTINCT g) AS n_g FROM grams GROUP BY doc_id
     ), pairs AS (
-        SELECT d.doc_id AS a, d.doc_id + 1 AS b
-        FROM documents d
-        WHERE d.doc_id + 1 <= (SELECT MAX(doc_id) FROM documents)
+        -- join (not a <= MAX guard): with GAPS in the id space the engine's
+        -- inner join to documents drops pairs whose b doesn't exist, so the
+        -- oracle must too
+        SELECT d.doc_id AS a, d2.doc_id AS b
+        FROM documents d JOIN documents d2 ON d2.doc_id = d.doc_id + 1
     ), inter AS (
         SELECT p.a, p.b, COUNT(DISTINCT ga.g) AS n_i
         FROM pairs p

@@ -51,6 +51,9 @@ def read_corpus_table(uri: str, columns=None) -> pa.Table:
     return pq.read_table(uri, columns=columns)
 
 
+import threading as _threading
+
+_BUILD_LOCK = _threading.Lock()
 _SHARD_CACHE_ROOT = "/tmp/crawler_ray_shards"
 # overridable so tests can drive the engine through the pre-sharded path on
 # tiny corpora
@@ -69,12 +72,15 @@ def ensure_sharded(uri: str, n_shards: int, min_bytes: int | None = None) -> str
     doesn't pay (small corpus) or doesn't apply (Lance handles carry their
     own row-group pruning path).
 
-    Concurrency-safe: built under a pid-suffixed temp dir, committed with an
-    atomic rename; a lost race discards the duplicate and reuses the
-    winner's directory."""
+    Concurrency-safe on both axes: same-process threads (run_jobs builds
+    engines in parallel) serialize on a module lock; separate processes
+    build under pid+thread-suffixed temp dirs and commit with an atomic
+    rename — a lost race discards the duplicate and reuses the winner's
+    directory."""
     import hashlib
     import os
     import shutil
+    import threading
 
     if min_bytes is None:
         min_bytes = int(os.environ.get("CRAWLER_RAY_PRESHARD_MIN_BYTES", _PRESHARD_MIN_BYTES))
@@ -100,16 +106,19 @@ def ensure_sharded(uri: str, n_shards: int, min_bytes: int | None = None) -> str
         sh = (stable_hash64(ids) % n_shards).astype(np.int64)
         return t.append_column("shard", pa.array(sh))
 
-    os.makedirs(_SHARD_CACHE_ROOT, exist_ok=True)
-    tmp = f"{final}.tmp.{os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)
-    rd.read_parquet(uri).map_batches(add_shard, batch_format="pyarrow").write_parquet(
-        tmp, partition_cols=["shard"]
-    )
-    try:
-        os.rename(tmp, final)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)  # lost the build race
+    with _BUILD_LOCK:
+        if os.path.isdir(final):  # another thread won while we waited
+            return final
+        os.makedirs(_SHARD_CACHE_ROOT, exist_ok=True)
+        tmp = f"{final}.tmp.{os.getpid()}.{threading.get_ident()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        rd.read_parquet(uri).map_batches(
+            add_shard, batch_format="pyarrow"
+        ).write_parquet(tmp, partition_cols=["shard"])
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost a cross-process race
     return final
 
 

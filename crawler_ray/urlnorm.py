@@ -321,20 +321,44 @@ def _parse_psl(rules):
     are split by label count (public suffix = the rule itself); wildcard
     rules '*.base' mean one extra label under `base` is the suffix;
     exception rules '!name' carve `name` back out (its suffix is `name`
-    minus its first label)."""
+    minus its first label).
+
+    Supported depth: suffixes up to THREE labels (normal rules ≤ 3 labels,
+    wildcard bases ≤ 2, exceptions ≤ 3) — the matcher inspects the last
+    four host labels. Deeper rules (the full PSL has a handful, e.g.
+    4-label private-section entries) raise instead of silently matching
+    nothing."""
     n2, n3, w1, w2, e2, e3 = set(), set(), set(), set(), set(), set()
+    bad = []
     for r in rules:
         if r.startswith("!"):
             body = r[1:]
-            (e2 if body.count(".") == 1 else e3).add(body)
+            if body.count(".") == 1:
+                e2.add(body)
+            elif body.count(".") == 2:
+                e3.add(body)
+            else:
+                bad.append(r)
         elif r.startswith("*."):
             base = r[2:]
-            (w1 if "." not in base else w2).add(base)
+            if "." not in base:
+                w1.add(base)
+            elif base.count(".") == 1:
+                w2.add(base)
+            else:
+                bad.append(r)
         elif r.count(".") == 1:
             n2.add(r)
         elif r.count(".") == 2:
             n3.add(r)
+        elif r.count(".") >= 3:
+            bad.append(r)
         # 1-label normal rules are implied by the default rule "*"
+    if bad:
+        raise ValueError(
+            f"PSL rules deeper than the supported 3-label suffix depth: {sorted(bad)[:10]}"
+            " — filter them out or extend the matcher"
+        )
     return n2, n3, w1, w2, e2, e3
 
 
@@ -342,9 +366,16 @@ _N2, _N3, _W1, _W2, _E2, _E3 = _parse_psl(PSL_RULES)
 
 
 def load_psl_rules(rules) -> None:
-    """Extend the embedded subset with additional PSL rules (e.g. a full
-    downloaded publicsuffix.org list, one rule per element; comment and
-    empty lines are ignored)."""
+    """Extend the embedded subset with additional PSL rules (one rule per
+    element; comment and empty lines are ignored; rules deeper than the
+    supported 3-label suffix depth raise — pre-filter them).
+
+    DRIVER-PROCESS ONLY: this mutates module globals, which Ray worker
+    processes do NOT see (they import this module fresh). Distributed scope
+    checks — the engine's in_scope stage — keep using the embedded rules;
+    call this for driver-side normalization/analytics, or extend
+    ``PSL_RULES`` at import time (e.g. a sitecustomize/module patch shipped
+    in the job's working_dir) for cluster-wide effect."""
     global _N2, _N3, _W1, _W2, _E2, _E3
     extra = {
         r.strip()
