@@ -199,9 +199,17 @@ def dup_clusters(sf_dir: str, threshold: float = 0.5, distributed: bool | None =
     )
 
 
-def curate(sf_dir: str, min_tokens: int = 5, min_quality: float = 0.3, near_dup_threshold: float = 0.5):
+def curate(
+    sf_dir: str,
+    min_tokens: int = 5,
+    min_quality: float = 0.3,
+    near_dup_threshold: float = 0.5,
+    dup_distributed: bool | None = None,
+):
     """The kept-document list after the full gate chain. Returns a Dataset of
-    (doc_id, n_tokens, quality) for every kept doc, sorted by doc_id."""
+    (doc_id, n_tokens, quality) for every kept doc, sorted by doc_id.
+    ``dup_distributed`` forwards to :func:`dup_clusters` (tests force the
+    Dataset-engine path; default auto-routes by pair count)."""
     import ray.data as rd
 
     # 1. quality gate (actor-pool scoring stage) — stays a Dataset
@@ -235,7 +243,7 @@ def curate(sf_dir: str, min_tokens: int = 5, min_quality: float = 0.3, near_dup_
     # 3. near-dup representatives: drop docs that sit in a cluster under a
     # non-self representative. The drop list is bounded by the verified pair
     # list → broadcast anti-filter (the documented small-side pattern)
-    clusters = dup_clusters(sf_dir, threshold=near_dup_threshold)
+    clusters = dup_clusters(sf_dir, threshold=near_dup_threshold, distributed=dup_distributed)
     if isinstance(clusters, pa.Table):
         mask = np.asarray(clusters["doc_id"]) != np.asarray(clusters["cluster_id"])
         drop_near = np.asarray(clusters["doc_id"])[mask]

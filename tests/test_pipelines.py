@@ -262,6 +262,15 @@ def test_dup_clusters_distributed_matches_inmemory(ray_session, tmp_path):
     dist = (dist.to_pandas() if hasattr(dist, "to_pandas") else dist).reset_index(drop=True)
     assert len(mem) > 0 and mem.equals(dist)
 
+    # curate() consumes the Dataset-typed distributed return identically
+    from crawler_ray.pipelines.curate import curate
+
+    k_mem = curate(sf, min_tokens=4, min_quality=0.0, near_dup_threshold=0.4).to_pandas()
+    k_dist = curate(
+        sf, min_tokens=4, min_quality=0.0, near_dup_threshold=0.4, dup_distributed=True
+    ).to_pandas()
+    assert k_mem.reset_index(drop=True).equals(k_dist.reset_index(drop=True))
+
 
 def test_media_resize_and_frames(ray_session):
     """Multimodal actor-pool stages: resize never upscales and respects the
