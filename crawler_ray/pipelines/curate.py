@@ -36,13 +36,15 @@ def _clusters_distributed(pairs, max_iters: int = 64):
     folds with a union+Min (no outer join needed). Jumping makes the
     iteration count O(log diameter) — a pure neighbor-pull needs a full
     diameter of rounds, and near-dup chains (sliding boilerplate) make long
-    paths the common worst case. Convergence is detected by the global
-    label SUM: labels are int64 ids that only ever decrease, so an
-    unchanged sum ⇔ a fixed point. That sum test (and Ray's join key
-    rules) limits this path to integer doc ids; string-keyed corpora use
-    the in-memory kernel."""
+    paths the common worst case. Convergence is detected by COUNTING
+    CHANGED LABELS: each iteration threads the iteration-start label
+    through as a ``label0`` column and sums ``label < label0`` rows at the
+    end — an exact zero test at any scale (the earlier int64 label-SUM test
+    could wrap past 2^63 at the 10^10-node design point and fake a fixed
+    point). Ray's join key rules limit this path to integer doc ids;
+    string-keyed corpora use the in-memory kernel."""
     import ray.data as rd
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Min
 
     from .partitions import for_rows
 
@@ -74,7 +76,7 @@ def _clusters_distributed(pairs, max_iters: int = 64):
         )
         .materialize()
     )
-    prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+    _SENTINEL = np.iinfo(np.int64).max
     # neighbor side keyed under a collision-free name for the join
     nbr_labels = labels.map_batches(
         lambda t: t.rename_columns(["nbr_key", "nbr_label"]), batch_format="pyarrow"
@@ -87,25 +89,53 @@ def _clusters_distributed(pairs, max_iters: int = 64):
             right_on=("nbr_key",),
             num_partitions=np_,
         )
+        # pulled mins carry a sentinel label0 so Min(label0) below resolves
+        # to the node's iteration-start label (threaded change detection)
         mins = (
             pulled.groupby("node")
             .aggregate(Min("nbr_label", alias_name="label"))
-            .select_columns(["node", "label"])
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": t["node"].combine_chunks(),
+                        "label": t["label"].combine_chunks(),
+                        "label0": pa.array(np.full(len(t), _SENTINEL)),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
         )
-        labels = (
-            labels.union(mins)
+        with_l0 = labels.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"].combine_chunks(),
+                    "label": t["label"].combine_chunks(),
+                    "label0": t["label"].combine_chunks(),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        folded = (
+            with_l0.union(mins)
             .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            .select_columns(["node", "label"])
+            .aggregate(
+                Min("label", alias_name="label"), Min("label0", alias_name="label0")
+            )
+            .select_columns(["node", "label", "label0"])
             .materialize()
         )
         # pointer jump: label ← label[label] (one join against labels keyed
         # by node) — collapses chains logarithmically
-        jump_side = labels.map_batches(
-            lambda t: t.rename_columns(["jump_key", "jump_label"]),
+        jump_side = folded.map_batches(
+            lambda t: pa.table(
+                {
+                    "jump_key": t["node"].combine_chunks(),
+                    "jump_label": t["label"].combine_chunks(),
+                }
+            ),
             batch_format="pyarrow",
         )
-        jumped = labels.join(
+        jumped = folded.join(
             jump_side,
             join_type="inner",
             on=("label",),
@@ -118,15 +148,33 @@ def _clusters_distributed(pairs, max_iters: int = 64):
                     "label": pc.min_element_wise(
                         t["label"].combine_chunks(), t["jump_label"].combine_chunks()
                     ),
+                    "label0": t["label0"].combine_chunks(),
                 }
             ),
             batch_format="pyarrow",
-        )
-        labels = jumped.materialize()
-        cur_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
-        if cur_sum == prev_sum:
+        ).materialize()
+        # exact convergence test: labels only decrease, so changed rows are
+        # exactly those with label < label0 — no overflow-prone global sum
+        changed = jumped.map_batches(
+            lambda t: pa.table(
+                {
+                    "c": pa.array(
+                        [
+                            int(
+                                pc.sum(
+                                    pc.less(t["label"], t["label0"])
+                                ).as_py()
+                                or 0
+                            )
+                        ]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).sum("c")
+        labels = jumped.select_columns(["node", "label"]).materialize()
+        if changed == 0:
             break
-        prev_sum = cur_sum
         nbr_labels = labels.map_batches(
             lambda t: t.rename_columns(["nbr_key", "nbr_label"]), batch_format="pyarrow"
         )

@@ -756,8 +756,7 @@ def jaccard_adjacent_sql(n: int = 3) -> str:
     return """
     WITH base AS (
         SELECT doc_id,
-               CASE WHEN TRIM(text) = '' THEN []
-                    ELSE STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') END AS toks
+               LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'), x -> x <> '') AS toks
         FROM documents
     ), tok AS (
         SELECT doc_id, UNNEST(toks) AS tok, GENERATE_SUBSCRIPTS(toks, 1) AS pos

@@ -344,8 +344,7 @@ def bm25_topk_sql(query: str = _BM25_QUERY, k: int = 10, k1: float = 1.2, b: flo
     return f"""
     WITH base AS (
         SELECT doc_id,
-               CASE WHEN TRIM(text) = '' THEN []
-                    ELSE STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') END AS toks
+               LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'), x -> x <> '') AS toks
         FROM documents
     ), stats AS (
         SELECT COUNT(*)::DOUBLE AS n,

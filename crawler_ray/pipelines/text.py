@@ -53,8 +53,7 @@ def token_stats(sf_dir: str):
 def token_stats_sql() -> str:
     return f"""
     SELECT doc_id,
-           CASE WHEN TRIM(text) = '' THEN 0
-                ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) END AS n_tokens,
+           LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> x <> '')) AS n_tokens,
            LEN(regexp_extract_all(text, '{_PIECE_RX}')) AS n_pieces,
            LEN(text) AS n_chars_actual
     FROM documents
@@ -165,8 +164,7 @@ def lang_id_sql() -> str:
     return f"""
     WITH base AS (
         SELECT doc_id,
-               CASE WHEN TRIM(text) = '' THEN []
-                    ELSE STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') END AS toks,
+               LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'), x -> x <> '') AS toks,
                GREATEST(LEN(text), 1) AS n_chars,
                LEN(REGEXP_EXTRACT_ALL(text, '[一-鿿]')) AS cjk
         FROM documents
@@ -266,8 +264,7 @@ def quality_sql() -> str:
     return f"""
     WITH base AS (
         SELECT doc_id, text, LEN(text) AS n_chars,
-               CASE WHEN TRIM(text) = '' THEN []
-                    ELSE STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') END AS toks
+               LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'), x -> x <> '') AS toks
         FROM documents
     ), agg AS (
         SELECT doc_id, n_chars, LEN(toks) AS n_tokens,
@@ -452,8 +449,7 @@ def repetition_stats_sql() -> str:
     return """
     WITH base AS (
         SELECT doc_id,
-               CASE WHEN TRIM(text) = '' THEN []
-                    ELSE STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') END AS toks
+               LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'), x -> x <> '') AS toks
         FROM documents
     ), nt AS (
         SELECT doc_id, LEN(toks) AS n_tokens FROM base
@@ -561,7 +557,13 @@ def decontaminate(sf_dir: str, eval_texts, k: int = 5, window: int = 4, min_shar
             {"doc_id": pa.array(doc[hit]), "fingerprint": pa.array(fp[hit])}
         )
 
-    flagged = fp_ds.map_batches(flag, batch_format="pyarrow")
+    flagged = fp_ds.map_batches(flag, batch_format="pyarrow").materialize()
+    # data-derived modulus for the grouped count (ADVICE r3: a fixed 8
+    # under-partitions a large flagged set) — flagged is tiny relative to
+    # the corpus, so the extra count() is over already-materialized blocks
+    from .partitions import cluster_cap, for_rows
+
+    n_parts = for_rows(flagged.count(), 1_000_000, floor=min(8, cluster_cap()))
 
     def count_shared(df: pd.DataFrame) -> pd.DataFrame:
         u = df.drop_duplicates(["doc_id", "fingerprint"])
@@ -575,7 +577,7 @@ def decontaminate(sf_dir: str, eval_texts, k: int = 5, window: int = 4, min_shar
 
         doc = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
         h = stable_hash64(doc) if doc.dtype == object else doc.astype(np.uint64)
-        pk = (h % np.uint64(8)).astype(np.int64)
+        pk = (h % np.uint64(n_parts)).astype(np.int64)
         return t.append_column("pkey", pa.array(pk))
 
     return (

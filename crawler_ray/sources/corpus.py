@@ -118,7 +118,12 @@ def ensure_sharded(uri: str, n_shards: int, min_bytes: int | None = None) -> str
         try:
             os.rename(tmp, final)
         except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # lost a cross-process race
+            shutil.rmtree(tmp, ignore_errors=True)
+            # only a lost cross-process race leaves the winner's directory in
+            # place; any other rename failure (permissions, EXDEV) must not
+            # silently hand callers a nonexistent path
+            if not os.path.isdir(final):
+                raise
     return final
 
 
