@@ -109,13 +109,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from crawler_ray.pipelines import artifacts as A
     from crawler_ray.pipelines import crawlq as C
+    from crawler_ray.pipelines import curate as CU
     from crawler_ray.pipelines import dedup as D
     from crawler_ray.pipelines import relational as R
     from crawler_ray.pipelines import similarity as S
     from crawler_ray.pipelines import text as T
 
     C.corpus_for_sf(_SF_ORACLE)  # corpus parquet must exist for the UNNEST oracles
+    # sketch pipelines dump their deterministic intermediates (signatures,
+    # candidate pairs, fingerprints, probe sets) to the artifact store; the
+    # oracles below recompute the verification/aggregation math from those
+    # artifacts in SQL. ensure() builds any that are missing so the oracle
+    # works regardless of driver-side query/oracle ordering.
+    A.ensure(_SF_ORACLE)
 
     return {
         "q1_pricing_summary": R.q1_sql(),
@@ -147,8 +155,22 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": S.bm25_topk_sql(),
         # media_manifest is SQL-expressible over the same corpus parquet
         "media_manifest": _media_manifest_sql(),
-        # lang_id, minhash/simhash/embedding/ngram pairs, ann_lsh,
-        # media_features: sketch-based or heuristic — rows-only checks.
+        # artifact oracles: candidates/signatures/probes taken from the
+        # dumped intermediates, verification + aggregation recomputed in SQL
+        "minhash_pairs": D.minhash_pairs_sql(_SF_ORACLE),
+        "simhash_pairs": D.simhash_pairs_sql(_SF_ORACLE),
+        "ngram_jaccard_pairs": D.ngram_jaccard_pairs_sql(_SF_ORACLE),
+        "embedding_dup_pairs": D.embedding_dup_pairs_sql(_SF_ORACLE, threshold=0.4),
+        "dup_clusters": CU.dup_clusters_sql(_SF_ORACLE),
+        "curate": CU.curate_sql(_SF_ORACLE),
+        "export_curated": CU.export_curated_sql(_SF_ORACLE),
+        "winnow_overlap_pairs": T.winnow_overlap_pairs_sql(_SF_ORACLE),
+        "decontaminate": T.decontaminate_sql(_SF_ORACLE),
+        "ann_lsh": S.ann_lsh_sql(_SF_ORACLE),
+        "ann_ivf": S.ann_ivf_sql(_SF_ORACLE),
+        # still rows-only: winnow_fingerprints (the selection algorithm IS
+        # the op — an oracle reading its own dump would be vacuous) and the
+        # media decode family (pixel stubs, not SQL-expressible).
     }
 
 

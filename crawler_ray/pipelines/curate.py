@@ -317,6 +317,22 @@ def curate(
     return out.select_columns(["doc_id", "n_tokens", "quality"]).sort("doc_id")
 
 
+_SHARD_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def shard_of(ids: np.ndarray, n_shards: int) -> np.ndarray:
+    """Export shard assignment. Integer doc ids use a multiplicative mix
+    (top bits after a golden-ratio multiply — SQL-reproducible with HUGEINT
+    arithmetic, see :func:`export_curated_sql`); object/string ids fall back
+    to the siphash family."""
+    if ids.dtype == object:
+        from ..state.seen import stable_hash64
+
+        return (stable_hash64(ids) % n_shards).astype(np.int64)
+    mixed = ids.astype(np.uint64) * _SHARD_MIX
+    return ((mixed >> np.uint64(17)) % np.uint64(n_shards)).astype(np.int64)
+
+
 def export_curated(sf_dir: str, out_dir: str | None = None, n_shards: int = 8, **curate_kw):
     """Resumable partitioned export of the curated corpus — the training-data
     sink: every kept doc hashes to one of ``n_shards`` key ranges; each shard
@@ -324,52 +340,177 @@ def export_curated(sf_dir: str, out_dir: str | None = None, n_shards: int = 8, *
     shard's data, so a re-run (or a resumed failed run) skips finished shards
     and rewrites only the missing ones. Never one giant file.
 
+    ONE distributed ``write_parquet(partition_cols=['shard'])`` pass covers
+    every missing shard (filtered to the todo set first, so a resume writes
+    only unfinished data); per-shard commit = move the written partition
+    into place, then the marker (VERDICT r3 #2 — the earlier version ran a
+    filter + count pass per shard, 2×n_shards scans of the curated set).
+    Counts come from parquet footer metadata, not a data scan.
+
     Returns the export manifest (shard, n_docs, skipped) as an Arrow table.
-    At 100 TB the per-shard loop runs as one pass with partition_cols over a
-    materialized dataset exactly as here — shard count scales with input
-    shards, and the data-then-marker ordering is what makes mid-run kill
-    safe: a shard directory without its marker is an aborted attempt, wiped
-    before the rewrite (write_parquet appends uniquely-named files, so stale
-    partials would otherwise survive next to the fresh ones and double the
-    shard)."""
+    The data-then-marker ordering is what makes a mid-run kill safe: a
+    shard directory without its marker is an aborted attempt, wiped before
+    the rewrite."""
     import os
     import shutil
-
-    from ..state.seen import stable_hash64
 
     out_dir = out_dir or os.path.join("/tmp/crawler_ray_export", os.path.basename(os.path.normpath(sf_dir)))
     os.makedirs(out_dir, exist_ok=True)
 
-    def add_shard(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        sh = (stable_hash64(ids.astype(object)) % n_shards).astype(np.int64)
-        return t.append_column("shard", pa.array(sh))
+    def count_rows(sdir: str) -> int:
+        import pyarrow.parquet as pq
 
-    ds = curate(sf_dir, **curate_kw).map_batches(add_shard, batch_format="pyarrow").materialize()
+        return sum(
+            pq.read_metadata(os.path.join(sdir, f)).num_rows
+            for f in os.listdir(sdir)
+            if f.endswith(".parquet")
+        )
+
+    todo = [
+        k
+        for k in range(n_shards)
+        if not os.path.exists(os.path.join(out_dir, f"shard={k}", "_SUCCESS"))
+    ]
+    if todo:
+        todo_arr = np.array(todo, dtype=np.int64)
+
+        def add_shard(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            sh = shard_of(ids, n_shards)
+            out = t.append_column("shard", pa.array(sh))
+            return out.filter(pa.array(np.isin(sh, todo_arr)))
+
+        tmp = os.path.join(out_dir, f"_inflight.{os.getpid()}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            curate(sf_dir, **curate_kw)
+            .map_batches(add_shard, batch_format="pyarrow")
+            .select_columns(["doc_id", "n_tokens", "quality", "shard"])
+            .write_parquet(tmp, partition_cols=["shard"])
+        )
+        for k in todo:
+            sdir = os.path.join(out_dir, f"shard={k}")
+            marker = os.path.join(sdir, "_SUCCESS")
+            # no marker ⇒ any existing files are a killed partial — replace
+            shutil.rmtree(sdir, ignore_errors=True)
+            src = os.path.join(tmp, f"shard={k}")
+            if os.path.isdir(src):
+                os.rename(src, sdir)
+            else:
+                os.makedirs(sdir, exist_ok=True)  # empty shard
+            open(marker, "w").close()  # commit point: data first, marker last
+        shutil.rmtree(tmp, ignore_errors=True)
+
     rows = []
     for k in range(n_shards):
         sdir = os.path.join(out_dir, f"shard={k}")
-        marker = os.path.join(sdir, "_SUCCESS")
-        if os.path.exists(marker):
-            import pyarrow.parquet as pq
-
-            n = sum(
-                pq.read_metadata(os.path.join(sdir, f)).num_rows
-                for f in os.listdir(sdir)
-                if f.endswith(".parquet")
-            )
-            rows.append({"shard": k, "n_docs": n, "skipped": True})
-            continue
-        # no marker ⇒ any existing files are a killed partial write — start
-        # the attempt from an empty directory
-        shutil.rmtree(sdir, ignore_errors=True)
-        part = ds.filter(expr=f"shard == {k}")
-        part.select_columns(["doc_id", "n_tokens", "quality"]).write_parquet(sdir)
-        open(marker, "w").close()  # commit point: data first, marker last
-        rows.append({"shard": k, "n_docs": part.count(), "skipped": False})
+        rows.append(
+            {"shard": k, "n_docs": count_rows(sdir), "skipped": k not in todo}
+        )
     return pa.Table.from_pylist(
         rows,
         schema=pa.schema(
             [("shard", pa.int64()), ("n_docs", pa.int64()), ("skipped", pa.bool_())]
         ),
     )
+
+
+# ------------------------- artifact oracles (SQL) -------------------------- #
+
+def _clusters_cte_sql(sf_dir: str, threshold: float) -> str:
+    """Recursive-CTE connected components over the SQL-reverified MinHash
+    pair list (min label per component) — the DuckDB ground truth for both
+    clustering engines. Transitive closure via UNION-deduped reachability;
+    fine at oracle scale, while the engines run the log-diameter
+    propagation."""
+    from .dedup import _minhash_verified_sql
+
+    return f"""
+    vp AS (
+        {_minhash_verified_sql(sf_dir, threshold)}
+    ), sym AS (
+        SELECT a AS u, b AS v FROM vp UNION SELECT b, a FROM vp
+    ), reach AS (
+        SELECT u AS node, v AS r FROM sym
+        UNION
+        SELECT reach.node, sym.v FROM reach JOIN sym ON sym.u = reach.r
+    ), clus AS (
+        SELECT node AS doc_id, LEAST(node, MIN(r)) AS cluster_id
+        FROM reach GROUP BY node
+    )"""
+
+
+def dup_clusters_sql(sf_dir: str, threshold: float = 0.5) -> str:
+    """Artifact oracle for :func:`dup_clusters` (VERDICT r3 #1): recompute
+    the verified pairs from the signature/candidate artifacts, then
+    min-label connected components as a recursive CTE."""
+    return f"""
+    WITH RECURSIVE {_clusters_cte_sql(sf_dir, threshold)}
+    SELECT doc_id, cluster_id FROM clus
+    """
+
+
+def curate_sql(
+    sf_dir: str,
+    min_tokens: int = 5,
+    min_quality: float = 0.3,
+    near_dup_threshold: float = 0.5,
+) -> str:
+    """Artifact oracle for :func:`curate`: quality gate (the hash-green
+    quality SQL as a subquery) ∩ exact-dedup survivors, minus non-representative
+    cluster members derived from the reverified pair list."""
+    from .text import quality_sql
+
+    return f"""
+    WITH RECURSIVE {_clusters_cte_sql(sf_dir, near_dup_threshold)},
+    q AS ({quality_sql()}),
+    surv AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+    )
+    SELECT q.doc_id, q.n_tokens, q.quality
+    FROM q JOIN surv USING (doc_id)
+    WHERE q.n_tokens >= {min_tokens} AND q.quality > {min_quality}
+      AND q.doc_id NOT IN (SELECT doc_id FROM clus WHERE doc_id <> cluster_id)
+    """
+
+
+def export_curated_sql(
+    sf_dir: str,
+    n_shards: int = 8,
+    min_tokens: int = 5,
+    min_quality: float = 0.3,
+    near_dup_threshold: float = 0.5,
+) -> str:
+    """Artifact oracle for a FRESH :func:`export_curated` run (the registry
+    wipes the output dir first, so skipped is uniformly false): curated set
+    → multiplicative-mix shard assignment (HUGEINT arithmetic emulates the
+    engine's uint64 wraparound multiply exactly) → per-shard counts over
+    the full shard range."""
+    from .text import quality_sql
+
+    golden = int(_SHARD_MIX)
+    return f"""
+    WITH RECURSIVE {_clusters_cte_sql(sf_dir, near_dup_threshold)},
+    q AS ({quality_sql()}),
+    surv AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+    ),
+    curated AS (
+        SELECT q.doc_id
+        FROM q JOIN surv USING (doc_id)
+        WHERE q.n_tokens >= {min_tokens} AND q.quality > {min_quality}
+          AND q.doc_id NOT IN (SELECT doc_id FROM clus WHERE doc_id <> cluster_id)
+    ),
+    sh AS (
+        SELECT CAST(
+            ((CAST(doc_id AS HUGEINT) * {golden}) % 18446744073709551616)
+            // 131072 % {n_shards} AS BIGINT) AS shard
+        FROM curated
+    )
+    SELECT r.range AS shard,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_docs,
+           FALSE AS skipped
+    FROM range(0, {n_shards}) r
+    LEFT JOIN (SELECT shard, COUNT(*) AS n FROM sh GROUP BY shard) c
+           ON c.shard = r.range
+    """

@@ -394,10 +394,16 @@ def _join_pair_sides(pairs, lookup, payload: str, n_pairs: int = 0):
     return j
 
 
-def minhash_pairs(sf_dir: str, threshold: float = 0.5):
+def minhash_pairs(sf_dir: str, threshold: float = 0.5, dump_artifacts: bool = False):
     """MinHash-LSH near-dup candidate pairs with signature verification.
 
-    Returns (a, b, est_jaccard) with a < b and est_jaccard ≥ threshold."""
+    Returns (a, b, est_jaccard) with a < b and est_jaccard ≥ threshold.
+    ``dump_artifacts`` writes the signature table and the pre-verification
+    candidate pairs to the oracle artifact store (pipelines/artifacts.py) so
+    DuckDB can recompute est_jaccard and the threshold filter independently
+    — the hard-oracle path for this sketch pipeline. Signatures and
+    candidates do not depend on ``threshold``, so the artifact names are
+    parameter-free."""
     sigs = (
         _read_docs(sf_dir, ["doc_id", "text"])
         .map_batches(minhash_signatures_batch, batch_format="pandas", batch_size=8192)
@@ -421,6 +427,11 @@ def minhash_pairs(sf_dir: str, threshold: float = 0.5):
 
     bands = sigs.map_batches(explode_bands, batch_format="pyarrow")
     pairs = _bucket_pairs_by_join(bands).materialize()
+    if dump_artifacts:
+        from . import artifacts
+
+        artifacts.write_dataset(sf_dir, "minhash_sigs", sigs)
+        artifacts.write_dataset(sf_dir, "minhash_cands", pairs, columns=["a", "b"])
     n_pairs = pairs.count()
     if n_pairs == 0:
         import ray.data as rd
@@ -515,11 +526,13 @@ def _simhash_chunk_bounds(max_hamming: int) -> list[tuple[int, int]]:
     return [(int(bounds[i]), int(bounds[i + 1] - bounds[i])) for i in range(k)]
 
 
-def simhash_pairs(sf_dir: str, max_hamming: int = 3):
+def simhash_pairs(sf_dir: str, max_hamming: int = 3, dump_artifacts: bool = False):
     """Near-dup pairs by SimHash: bucket on each of ``max_hamming + 1``
     bit-chunks (pigeonhole — candidate generation is exact for the given
     threshold, not just for ≤3), then verify exact hamming distance via two
-    hash-partitioned joins pairs×signatures and a vectorized popcount."""
+    hash-partitioned joins pairs×signatures and a vectorized popcount.
+    ``dump_artifacts``: signature + candidate parquet for the DuckDB
+    re-verification oracle (BIT_COUNT(XOR(...)) over int64 bit patterns)."""
     sigs = simhash(sf_dir).materialize()
     chunks = _simhash_chunk_bounds(max_hamming)
 
@@ -543,6 +556,28 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
     pairs = _bucket_pairs_by_join(
         sigs.map_batches(explode_chunks, batch_format="pyarrow")
     ).materialize()
+    if dump_artifacts:
+        from . import artifacts
+
+        artifacts.write_dataset(
+            sf_dir,
+            "simhash_sigs",
+            sigs.map_batches(
+                lambda t: pa.table(
+                    {
+                        "doc_id": t["doc_id"].combine_chunks(),
+                        "sim": pa.array(
+                            t["simhash"].combine_chunks()
+                            .to_numpy(zero_copy_only=False)
+                            .astype(np.uint64)
+                            .view(np.int64)
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+        )
+        artifacts.write_dataset(sf_dir, "simhash_cands", pairs, columns=["a", "b"])
     n_pairs = pairs.count()
     if n_pairs == 0:
         import ray.data as rd
@@ -590,6 +625,7 @@ def embedding_dup_pairs(
     threshold: float = 0.9,
     n_planes: int = 12,
     n_tables: int = 32,
+    dump_artifacts: bool = False,
 ):
     """Embedding-cosine near-dup: multi-table random-hyperplane LSH (standard
     OR-construction — a pair at cosine c lands in a shared bucket of at least
@@ -635,6 +671,12 @@ def embedding_dup_pairs(
     pairs = _bucket_pairs_by_join(
         ds.map_batches(bucketize, batch_format="pyarrow")
     ).materialize()
+    if dump_artifacts:
+        # candidate set depends on (n_planes, n_tables); the registry's
+        # fixture-tuned call is the only dumper, so the name is fixed
+        from . import artifacts
+
+        artifacts.write_dataset(sf_dir, "emb_cands", pairs, columns=["a", "b"])
     if pairs.count() == 0:
         return rd.from_arrow(
             _empty_pairs(("cosine", pa.float64()), key_type=ds.schema().types[0])
@@ -664,9 +706,12 @@ def embedding_dup_pairs(
     )
 
     def verify(t: pa.Table) -> pa.Table:
+        from .rounding import round_np
+
         ea = _unpack_u64_rows(t["emb_a"], dim).view(np.float64)
         eb = _unpack_u64_rows(t["emb_b"], dim).view(np.float64)
-        cos = np.round((ea * eb).sum(axis=1), 6)
+        # half-away rounding — DuckDB ROUND parity for the artifact oracle
+        cos = round_np((ea * eb).sum(axis=1), 6)
         out = pa.table(
             {
                 "a": t["a"].combine_chunks(),
@@ -746,14 +791,14 @@ def jaccard_adjacent(sf_dir: str, n: int = 3):
     return ngram_jaccard_pairs(sf_dir, candidates=cands, n=n, threshold=0.0)
 
 
-def jaccard_adjacent_sql(n: int = 3) -> str:
-    """DuckDB equivalent: per-doc word-3-gram SET (docs with 0 < tokens < 3
+def _gram_jaccard_sql(pairs_sql: str, final_where: str = "") -> str:
+    """Shared DuckDB body: per-doc word-3-gram SET (docs with 0 < tokens < 3
     contribute their whole joined text — distinguishable from any real
     3-gram by space count, mirroring the engine's separately-keyed whole
-    hash; empty docs contribute nothing), then set Jaccard for every
-    consecutive doc_id pair. Engine compares 64-bit shingle hashes; string
+    hash; empty docs contribute nothing), then set Jaccard for every pair
+    produced by ``pairs_sql``. Engine compares 64-bit shingle hashes; string
     equality is the same partition absent a collision."""
-    return """
+    return f"""
     WITH base AS (
         SELECT doc_id,
                LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'), x -> x <> '') AS toks
@@ -773,29 +818,115 @@ def jaccard_adjacent_sql(n: int = 3) -> str:
     ), gsets AS (
         SELECT doc_id, COUNT(DISTINCT g) AS n_g FROM grams GROUP BY doc_id
     ), pairs AS (
-        -- join (not a <= MAX guard): with GAPS in the id space the engine's
-        -- inner join to documents drops pairs whose b doesn't exist, so the
-        -- oracle must too
-        SELECT d.doc_id AS a, d2.doc_id AS b
-        FROM documents d JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+        {pairs_sql}
     ), inter AS (
         SELECT p.a, p.b, COUNT(DISTINCT ga.g) AS n_i
         FROM pairs p
         JOIN grams ga ON ga.doc_id = p.a
         JOIN grams gb ON gb.doc_id = p.b AND gb.g = ga.g
         GROUP BY p.a, p.b
+    ), scored AS (
+        SELECT p.a, p.b,
+               ROUND(
+                   CASE WHEN COALESCE(sa.n_g, 0) + COALESCE(sb.n_g, 0) - COALESCE(i.n_i, 0) > 0
+                        THEN COALESCE(i.n_i, 0)::DOUBLE /
+                             (COALESCE(sa.n_g, 0) + COALESCE(sb.n_g, 0) - COALESCE(i.n_i, 0))
+                        ELSE 0.0 END, 6) AS jaccard
+        FROM pairs p
+        LEFT JOIN gsets sa ON sa.doc_id = p.a
+        LEFT JOIN gsets sb ON sb.doc_id = p.b
+        LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
     )
-    SELECT p.a, p.b,
-           ROUND(
-               CASE WHEN COALESCE(sa.n_g, 0) + COALESCE(sb.n_g, 0) - COALESCE(i.n_i, 0) > 0
-                    THEN COALESCE(i.n_i, 0)::DOUBLE /
-                         (COALESCE(sa.n_g, 0) + COALESCE(sb.n_g, 0) - COALESCE(i.n_i, 0))
-                    ELSE 0.0 END, 6) AS jaccard
-    FROM pairs p
-    LEFT JOIN gsets sa ON sa.doc_id = p.a
-    LEFT JOIN gsets sb ON sb.doc_id = p.b
-    LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+    SELECT a, b, jaccard FROM scored
+    {final_where}
     """
+
+
+def jaccard_adjacent_sql(n: int = 3) -> str:
+    return _gram_jaccard_sql(
+        """
+        -- join (not a <= MAX guard): with GAPS in the id space the engine's
+        -- inner join to documents drops pairs whose b doesn't exist, so the
+        -- oracle must too
+        SELECT d.doc_id AS a, d2.doc_id AS b
+        FROM documents d JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+        """
+    )
+
+
+def _minhash_verified_sql(sf_dir: str, threshold: float) -> str:
+    """Candidate pairs with signature-estimated Jaccard ≥ threshold,
+    recomputed in SQL from the dumped signature + candidate artifacts."""
+    from .artifacts import artifact_path
+
+    sigs = artifact_path(sf_dir, "minhash_sigs")
+    cands = artifact_path(sf_dir, "minhash_cands")
+    return f"""
+        SELECT a, b, ROUND(est, 6) AS est_jaccard FROM (
+            SELECT a, b, SUM(CASE WHEN x = y THEN 1 ELSE 0 END)::DOUBLE / {_N_HASH} AS est
+            FROM (
+                SELECT p.a, p.b, UNNEST(sa.sig) AS x, UNNEST(sb.sig) AS y
+                FROM read_parquet('{cands}') p
+                JOIN read_parquet('{sigs}') sa ON sa.doc_id = p.a
+                JOIN read_parquet('{sigs}') sb ON sb.doc_id = p.b
+            ) u
+            GROUP BY a, b
+        ) est_t
+        WHERE ROUND(est, 6) >= {threshold}
+    """
+
+
+def minhash_pairs_sql(sf_dir: str, threshold: float = 0.5) -> str:
+    """Artifact oracle for :func:`minhash_pairs` (VERDICT r3 #1): given the
+    dumped signatures and pre-verification candidates, recompute
+    est_jaccard and the threshold filter entirely in SQL."""
+    return _minhash_verified_sql(sf_dir, threshold)
+
+
+def simhash_pairs_sql(sf_dir: str, max_hamming: int = 3) -> str:
+    """Artifact oracle for :func:`simhash_pairs`: exact hamming distance via
+    BIT_COUNT(XOR(...)) over the int64 signature bit patterns."""
+    from .artifacts import artifact_path
+
+    sigs = artifact_path(sf_dir, "simhash_sigs")
+    cands = artifact_path(sf_dir, "simhash_cands")
+    return f"""
+    SELECT p.a, p.b,
+           CAST(BIT_COUNT(XOR(sa.sim, sb.sim)) AS BIGINT) AS hamming
+    FROM read_parquet('{cands}') p
+    JOIN read_parquet('{sigs}') sa ON sa.doc_id = p.a
+    JOIN read_parquet('{sigs}') sb ON sb.doc_id = p.b
+    WHERE BIT_COUNT(XOR(sa.sim, sb.sim)) <= {max_hamming}
+    """
+
+
+def embedding_dup_pairs_sql(sf_dir: str, threshold: float = 0.4) -> str:
+    """Artifact oracle for :func:`embedding_dup_pairs`: exact cosine over
+    the dumped LSH candidate pairs (same rounded-compare as the engine)."""
+    from .artifacts import artifact_path
+
+    cands = artifact_path(sf_dir, "emb_cands")
+    return f"""
+    SELECT p.a, p.b,
+           ROUND(LIST_COSINE_SIMILARITY(CAST(ea.embedding AS DOUBLE[]),
+                                        CAST(eb.embedding AS DOUBLE[])), 6) AS cosine
+    FROM read_parquet('{cands}') p
+    JOIN embeddings ea ON ea.vec_id = p.a
+    JOIN embeddings eb ON eb.vec_id = p.b
+    WHERE ROUND(LIST_COSINE_SIMILARITY(CAST(ea.embedding AS DOUBLE[]),
+                                       CAST(eb.embedding AS DOUBLE[])), 6) >= {threshold}
+    """
+
+
+def ngram_jaccard_pairs_sql(
+    sf_dir: str, cand_threshold: float = 0.2, threshold: float = 0.4
+) -> str:
+    """Artifact oracle for :func:`ngram_jaccard_pairs`: the default
+    candidate set (MinHash est ≥ 0.2) is recomputed from the artifacts,
+    then exact word-3-gram Jaccard + threshold — the same gram CTEs the
+    hash-green ``jaccard_adjacent`` oracle uses."""
+    pairs = f"SELECT a, b FROM ({_minhash_verified_sql(sf_dir, cand_threshold)}) mh"
+    return _gram_jaccard_sql(pairs, final_where=f"WHERE jaccard >= {threshold}")
 
 
 def ngram_jaccard_pairs(sf_dir: str, candidates=None, n: int = 3, threshold: float = 0.4):

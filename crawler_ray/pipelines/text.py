@@ -286,7 +286,7 @@ def quality_sql() -> str:
 
 
 # --------------------------------------------------------------------------- #
-def winnow_fingerprints(sf_dir: str, k: int = 5, window: int = 4):
+def winnow_fingerprints(sf_dir: str, k: int = 5, window: int = 4, dump_artifacts: bool = False):
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken '03): k-gram
     rolling hashes → per-window minimum, rightmost-min tie-break — the
     guarantee is every shared substring of length ≥ k+window-1 yields at
@@ -298,10 +298,19 @@ def winnow_fingerprints(sf_dir: str, k: int = 5, window: int = 4):
     per-window Python. Output one row per selected (doc_id, fingerprint,
     pos). Rows-only for the driver (selection positions are not
     SQL-expressible); pytest pins overlap detection on planted shared
-    passages."""
-    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+    passages. ``dump_artifacts`` writes the (doc_id, fingerprint) rows so
+    the overlap-pair and decontamination oracles can recount them in SQL."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         _winnow_batch_kernel(k, window), batch_format="pandas", batch_size=4096
     )
+    if dump_artifacts:
+        from . import artifacts
+
+        ds = ds.materialize()
+        artifacts.write_dataset(
+            sf_dir, "winnow_fps", ds, columns=["doc_id", "fingerprint"]
+        )
+    return ds
 
 
 def _winnow_batch_kernel(k: int, window: int):
@@ -588,3 +597,44 @@ def decontaminate(sf_dir: str, eval_texts, k: int = 5, window: int = 4, min_shar
             batch_format="pandas",
         )
     )
+
+
+def winnow_overlap_pairs_sql(sf_dir: str, min_shared: int = 3, cap: int = 128) -> str:
+    """Artifact oracle for :func:`winnow_overlap_pairs`: given the dumped
+    (doc_id, fingerprint) rows, recount shared distinct fingerprints per
+    pair in SQL — including the bucket cap (a fingerprint shared by > cap
+    distinct docs is boilerplate and emits no pairs) and the a < b
+    orientation."""
+    from .artifacts import artifact_path
+
+    fps = artifact_path(sf_dir, "winnow_fps")
+    return f"""
+    WITH df AS (
+        SELECT DISTINCT doc_id, fingerprint FROM read_parquet('{fps}')
+    ), ok AS (
+        SELECT fingerprint FROM df
+        GROUP BY fingerprint HAVING COUNT(*) >= 2 AND COUNT(*) <= {cap}
+    ), e AS (
+        SELECT df.doc_id, df.fingerprint FROM df JOIN ok USING (fingerprint)
+    )
+    SELECT e1.doc_id AS a, e2.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS shared
+    FROM e e1 JOIN e e2 ON e1.fingerprint = e2.fingerprint AND e1.doc_id < e2.doc_id
+    GROUP BY a, b
+    HAVING COUNT(*) >= {min_shared}
+    """
+
+
+def decontaminate_sql(sf_dir: str, min_shared: int = 2) -> str:
+    """Artifact oracle for :func:`decontaminate` (the registry's demo call):
+    corpus fingerprints ∩ eval-set fingerprints, counted distinct per doc."""
+    from .artifacts import artifact_path
+
+    fps = artifact_path(sf_dir, "winnow_fps")
+    ev = artifact_path(sf_dir, "decon_eval_fps")
+    return f"""
+    SELECT f.doc_id, CAST(COUNT(DISTINCT f.fingerprint) AS BIGINT) AS shared
+    FROM read_parquet('{fps}') f
+    JOIN read_parquet('{ev}') e USING (fingerprint)
+    GROUP BY f.doc_id
+    HAVING COUNT(DISTINCT f.fingerprint) >= {min_shared}
+    """

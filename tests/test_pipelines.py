@@ -505,3 +505,107 @@ def test_repetition_stats_planted(ray_session, tmp_path):
     assert r.loc[1, "dup_2gram_frac"] > 0.8
     assert r.loc[2, "dup_2gram_frac"] == 0.0
     assert r.loc[2, "top_token_frac"] < 0.25
+
+
+# ------------------ artifact oracles (round-4 hardening) ------------------- #
+
+# sketch pipelines whose oracle reads the dumped intermediates (signatures,
+# candidate pairs, fingerprints, probe sets); oracle SQL embeds sf0.01
+# artifact paths, so compare at sf0.01 like the corpus-backed queries
+ARTIFACT_SQL_CHECKED = [
+    "minhash_pairs",
+    "simhash_pairs",
+    "ngram_jaccard_pairs",
+    "embedding_dup_pairs",
+    "dup_clusters",
+    "curate",
+    "export_curated",
+    "winnow_overlap_pairs",
+    "decontaminate",
+    "ann_lsh",
+    "ann_ivf",
+]
+
+
+@pytest.mark.parametrize("name", ARTIFACT_SQL_CHECKED)
+def test_artifact_oracle_matches_duckdb(name, ray_session):
+    sf = "/root/testdata/sf0.01"
+    assert_equivalent(entrymod.queries()[name](sf), _sql_for(name), sf)
+
+
+def test_whitespace_padded_tokenization_parity(ray_session, tmp_path):
+    """ADVICE r3: text padded with \\t/\\n must tokenize identically in the
+    engine (pandas str.split) and the DuckDB oracles (LIST_FILTER over the
+    regex split) — the sf fixtures are space-only, so pin it here."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines import text as T
+
+    d = tmp_path / "pad"
+    d.mkdir()
+    texts = [
+        "\n\thello world\t\n",
+        "  spaced  out  tokens  here  now  ",
+        "tab\tsep\ttokens and the usual words",
+        "",
+        "\n \t\r\n",
+        "one",
+    ]
+    pq.write_table(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts}),
+        str(d / "documents.parquet"),
+    )
+    assert_equivalent(T.token_stats(str(d)), T.token_stats_sql(), str(d))
+    assert_equivalent(T.quality(str(d)), T.quality_sql(), str(d))
+    assert_equivalent(T.lang_id(str(d)), T.lang_id_sql(), str(d))
+
+
+def test_export_shard_hash_sql_parity():
+    """The engine's uint64 wraparound multiply and the oracle's HUGEINT
+    emulation must agree on every shard assignment."""
+    import duckdb
+
+    from crawler_ray.pipelines.curate import _SHARD_MIX, shard_of
+
+    ids = np.array([0, 1, 2, 7, 12345, 10**12, 2**62, 2**63 - 1], dtype=np.int64)
+    want = shard_of(ids, 8)
+    got = duckdb.sql(
+        f"SELECT CAST(((CAST(x AS HUGEINT) * {int(_SHARD_MIX)}) % 18446744073709551616)"
+        f" // 131072 % 8 AS BIGINT) AS s FROM (SELECT UNNEST({[int(i) for i in ids]}) AS x)"
+    ).fetchnumpy()["s"]
+    assert (want == got).all()
+
+
+def test_ann_ivf_reads_only_probed_cells(ray_session):
+    """The IVF inverted file prunes I/O, not just compute: a small probe set
+    touches strictly fewer bytes than the whole index (VERDICT r3 #2)."""
+    import os
+
+    from crawler_ray.pipelines.similarity import (
+        _query_matrix,
+        ensure_ivf_index,
+        ivf_probe_paths,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    idx, cents = ensure_ivf_index(sf)
+    qids, qm = _query_matrix(sf, 2)
+    probe = np.argsort(-(qm @ cents.T), axis=1)[:, :2]
+    paths = ivf_probe_paths(idx, probe.reshape(-1))
+    all_files = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(idx)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    probed_bytes = sum(os.path.getsize(p) for p in paths)
+    total_bytes = sum(os.path.getsize(p) for p in all_files)
+    assert probed_bytes < total_bytes
+    assert len(paths) < len(all_files)
+    # and the pruned-read query still answers: 2 queries × k rows
+    from crawler_ray.pipelines.similarity import ann_ivf
+
+    out = to_df(ann_ivf(sf, n_queries=2, n_probe=2))
+    assert set(out["qid"]) == set(int(q) for q in qids)
+    assert len(out) == 2 * 10
