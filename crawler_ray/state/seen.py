@@ -192,6 +192,7 @@ class SeenShard:
             return np.zeros(0, dtype=bool)
         if keys is None:
             keys = fold_urls(urls)
+        keys = np.asarray(keys, dtype=object)
         h = stable_hash64(keys)
         maybe_seen = self.filter.contains_hashes(h)
         if self.exact is not None:
@@ -205,10 +206,10 @@ class SeenShard:
             # grow BEFORE updating exact: the rebuild re-hashes the exact set,
             # so the new URLs must not be in it yet (they are added below)
             self._maybe_grow(int(novel.sum()))
-            for u, k, n in zip(urls, keys, novel):
-                if n:
-                    self.exact.add(k)
-                    self.originals[k] = u
+            # bulk winners update — no per-row Python if-loop on the hot path
+            nk = keys[novel]
+            self.exact.update(nk.tolist())
+            self.originals.update(zip(nk, np.asarray(urls, dtype=object)[novel]))
         else:
             novel = ~maybe_seen
             self._maybe_grow(int(novel.sum()))
@@ -236,13 +237,28 @@ class SeenShard:
         pend = self.pending
         if keys is None:
             keys = fold_urls(urls)
+        keys = np.asarray(keys, dtype=object)
         if self.exact is not None:
-            seen_mask = (k in self.exact for k in keys)
+            seen_mask = np.fromiter(
+                (k in self.exact for k in keys), dtype=bool, count=len(keys)
+            )
         else:
             seen_mask = self.filter.contains_hashes(stable_hash64(keys))
-        for u, k, p, s in zip(urls, keys, packs, seen_mask):
-            if s:
-                continue
+        fresh = ~seen_mask
+        if not fresh.any():
+            return len(pend)
+        ks = keys[fresh]
+        ps = np.asarray(packs, dtype=object)[fresh]
+        us = np.asarray(urls, dtype=object)[fresh]
+        # batch-local argmin of (pack, url) per key: one lexsort + boundary
+        # mask replaces the old per-ROW compare loop; the merge below runs
+        # once per UNIQUE key in the batch, not per row
+        order = np.lexsort((us, ps, ks))
+        ks, ps, us = ks[order], ps[order], us[order]
+        first = np.empty(len(ks), dtype=bool)
+        first[0] = True
+        first[1:] = ks[1:] != ks[:-1]
+        for k, p, u in zip(ks[first], ps[first], us[first]):
             cur = pend.get(k)
             if cur is None or (p, u) < cur:
                 pend[k] = (p, u)
