@@ -63,6 +63,31 @@ def stem(host: str) -> str:
     return stem_of_host(host)
 
 
+def _rule_match(path: str, rule: str) -> bool:
+    """RFC 9309 §2.2.3 rule match, implemented independently of the engine's
+    regex translation (state/robots.py): prefix-anchored scan where ``*``
+    matches any sequence and a trailing ``$`` anchors the end. Greedy
+    leftmost placement of the middle segments is sufficient for existence."""
+    end_anchor = rule.endswith("$")
+    body = rule[:-1] if end_anchor else rule
+    segs = body.split("*")
+    if not path.startswith(segs[0]):
+        return False
+    pos = len(segs[0])
+    if len(segs) == 1:
+        return len(path) == pos if end_anchor else True
+    for seg in segs[1:-1]:
+        if seg:
+            i = path.find(seg, pos)
+            if i < 0:
+                return False
+            pos = i + len(seg)
+    last = segs[-1]
+    if end_anchor:
+        return path.endswith(last) and len(path) - len(last) >= pos
+    return True if not last else path.find(last, pos) >= 0
+
+
 @dataclass
 class OracleResult:
     visited: set = field(default_factory=set)
@@ -87,8 +112,8 @@ def crawl(
     def robots_allowed(u: str) -> bool:
         if not cfg.respect_robots_txt:
             return True
-        prefixes = robots.get(host_of(u), ((), 0))[0]
-        return not any(path_of(u).startswith(p) for p in prefixes)
+        rules = robots.get(host_of(u), ((), 0))[0]
+        return not any(_rule_match(path_of(u), r) for r in rules)
 
     def delay_of(host: str) -> int:
         d = cfg.delay_ms

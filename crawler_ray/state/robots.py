@@ -7,9 +7,14 @@ The rules table is tiny (one row per host) so it is a broadcast small side
 (SURVEY J3): the driver reads it once, ``ray.put``s the policy, and gate
 stages look it up per batch — no shuffle.
 
-Rules model: RFC 9309 semantics over path *prefixes* — per host an
-``allow``/``disallow`` rule set evaluated by LONGEST MATCH (allow wins ties)
-plus an optional crawl-delay that overrides the job delay when larger.
+Rules model: RFC 9309 semantics including §2.2.3 special characters — per
+host an ``allow``/``disallow`` rule set evaluated by LONGEST MATCH (allow
+wins ties; rule length = raw pattern octets), where ``*`` matches any
+character sequence and a trailing ``$`` anchors the rule to the end of the
+path, plus an optional crawl-delay that overrides the job delay when larger.
+Plain prefix rules stay on a vectorized numpy ``startswith`` fast path;
+wildcard rules compile ONCE per host to anchored regexes (cached on the
+policy, invalidated by :meth:`update`, still a broadcast small side).
 ``parse_robots_lines`` understands ``User-agent`` groups: rules apply from
 the most specific group matching the crawl's agent (longest matching group
 token; ``*`` is the fallback; leading rules with no group belong to ``*``).
@@ -19,10 +24,26 @@ is pinned by unit tests.
 
 from __future__ import annotations
 
+import re
 from typing import NamedTuple
 
 import numpy as np
 import pyarrow as pa
+
+
+def _has_wildcard(pattern: str) -> bool:
+    return "*" in pattern or pattern.endswith("$")
+
+
+def robots_rule_regex(pattern: str) -> str:
+    """Translate an RFC 9309 §2.2.3 rule to an (implicitly start-anchored)
+    regex: ``*`` → ``.*``, trailing ``$`` → end anchor, everything else
+    literal (a mid-pattern ``$`` is an ordinary octet). Matched with
+    ``re.match`` so the prefix anchoring is structural."""
+    anchor_end = pattern.endswith("$")
+    body = pattern[:-1] if anchor_end else pattern
+    rx = ".*".join(re.escape(seg) for seg in body.split("*"))
+    return rx + ("$" if anchor_end else "")
 
 
 class RobotsRules(NamedTuple):
@@ -45,6 +66,23 @@ class RobotsPolicy:
     def __init__(self, rules: dict):
         # host -> RobotsRules (plain (disallow, delay) tuples auto-upgrade)
         self.rules = {h: _as_rules(r) for h, r in rules.items()}
+        # host -> [(is_allow, rule_len, prefix_str | compiled_regex)], built
+        # lazily per host; regexes pickle as pattern+flags so the cache
+        # survives the ray.put broadcast
+        self._compiled: dict[str, list] = {}
+
+    def _host_matchers(self, host: str, r: RobotsRules) -> list:
+        got = self._compiled.get(host)
+        if got is None:
+            got = []
+            # disallow before allow so the >= update lets allow win length
+            # ties (RFC 9309: least restrictive rule on a specificity tie)
+            for is_allow, rule_set in ((False, r.disallow), (True, r.allow)):
+                for p in rule_set:
+                    m = re.compile(robots_rule_regex(p)) if _has_wildcard(p) else p
+                    got.append((is_allow, len(p), m))
+            self._compiled[host] = got
+        return got
 
     @classmethod
     def from_table(cls, table: pa.Table | None) -> "RobotsPolicy":
@@ -121,15 +159,19 @@ class RobotsPolicy:
         return groups.get(best if best is not None else "*", RobotsRules())
 
     def update(self, host: str, rules) -> None:
-        self.rules[host.lower()] = _as_rules(rules)
+        host = host.lower()
+        self.rules[host] = _as_rules(rules)
+        self._compiled.pop(host, None)
 
     def allowed(self, hosts: list[str] | np.ndarray, paths: list[str] | np.ndarray) -> np.ndarray:
         """Bool mask: True where host robots rules allow the path.
 
         Longest-match evaluation (RFC 9309): the longest allow/disallow rule
         matching the path decides; allow wins length ties; no match ⇒
-        allowed. Vectorized per distinct host in the batch (few hosts per
-        batch; each rule is one numpy startswith over the host's rows)."""
+        allowed. ``*`` / trailing ``$`` wildcards are supported (§2.2.3).
+        Vectorized per distinct host in the batch (few hosts per batch):
+        plain prefix rules are one numpy startswith over the host's rows;
+        wildcard rules run a per-host pre-compiled anchored regex."""
         hosts = np.asarray(hosts, dtype=object)
         paths = np.asarray(paths, dtype=object)
         out = np.ones(len(hosts), dtype=bool)
@@ -143,14 +185,18 @@ class RobotsPolicy:
             hp = paths[idx].astype(str)
             best_len = np.full(len(idx), -1, dtype=np.int64)
             best_allow = np.ones(len(idx), dtype=bool)  # no match ⇒ allowed
-            # evaluate disallow before allow at equal length so >= lets
-            # allow win ties (RFC: least restrictive on specificity tie)
-            for is_allow, rule_set in ((False, r.disallow), (True, r.allow)):
-                for p in rule_set:
-                    m = np.char.startswith(hp, p)
-                    upd = m & (len(p) >= best_len)
-                    best_len[upd] = len(p)
-                    best_allow[upd] = is_allow
+            for is_allow, rule_len, matcher in self._host_matchers(host, r):
+                if isinstance(matcher, str):
+                    m = np.char.startswith(hp, matcher)
+                else:
+                    m = np.fromiter(
+                        (matcher.match(p) is not None for p in hp),
+                        dtype=bool,
+                        count=len(hp),
+                    )
+                upd = m & (rule_len >= best_len)
+                best_len[upd] = rule_len
+                best_allow[upd] = is_allow
             out[idx[~best_allow]] = False
         return out
 

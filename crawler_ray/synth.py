@@ -54,7 +54,7 @@ class CorpusSpec:
     def host_page_count(self, i: int) -> int:
         return self.pages_per_host * (self.hot_host_factor if i == 0 else 1)
 
-    GEN_VERSION = 2  # bump when generator content changes for identical specs
+    GEN_VERSION = 3  # bump when generator content changes for identical specs
 
     def cache_key(self) -> str:
         return hashlib.sha1(f"{self!r}v{self.GEN_VERSION}".encode()).hexdigest()[:12]
@@ -206,6 +206,9 @@ def _robots_rules(spec: CorpusSpec, i: int) -> tuple[list[str], int]:
         return ["/page-000"], 0
     if i == 3 and spec.n_hosts > 3:
         return [], 2000
+    if i == 4 and spec.n_hosts > 4:
+        # RFC 9309 §2.2.3 wildcard rules: mid-pattern '*' + end-anchor '$'
+        return ["/page-*1", "/page-0002$"], 0
     return [], 0
 
 

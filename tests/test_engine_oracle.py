@@ -36,6 +36,8 @@ CONFIGS = [
     dict(url="https://site-0003.test/", delay_ms=500, round_ms=5000),  # robots delay
     dict(url="https://site-0000.test/", blacklist=("/page-001",)),
     dict(url="https://site-0000.test/", respect_robots_txt=False, sitemap=True),
+    dict(url="https://site-0004.test/"),  # robots wildcard rules (* and $)
+    dict(url="https://site-0004.test/", sitemap=True),  # wildcards × sitemap seeds
 ]
 
 

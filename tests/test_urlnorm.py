@@ -185,6 +185,78 @@ def test_robots_allow_longest_match():
     assert pol2.allowed(["h.test"], ["/page"]).tolist() == [True]
 
 
+def test_robots_wildcard_truth_table():
+    """RFC 9309 §2.2.3 '*' / '$' semantics: engine regexes vs the oracle's
+    independent scanning matcher on the same truth table."""
+    import numpy as np
+
+    from crawler_ray.oracle import _rule_match
+    from crawler_ray.state.robots import RobotsPolicy, RobotsRules
+
+    cases = [
+        # (rule, path, matches)
+        ("/page-*1", "/page-0001", True),
+        ("/page-*1", "/page-1000", True),   # prefix '/page-1' contains the 1
+        ("/page-*1", "/page-0001/x", True), # rule matches a path prefix
+        ("/page-*1", "/page-0000", False),
+        ("/page-*1", "/other-0001", False),
+        ("/page-0002$", "/page-0002", True),
+        ("/page-0002$", "/page-00023", False),
+        ("/page-0002$", "/page-0002/", False),
+        ("/*?sort=", "/items?sort=asc", True),
+        ("/*?sort=", "/items", False),
+        ("/*.php$", "/index.php", True),
+        ("/*.php$", "/index.php?x=1", False),
+        ("/a*b*c$", "/aXbYc", True),
+        ("/a*b*c$", "/aXbYcZ", False),
+        ("/a*b*c", "/acb--c!", True),       # greedy-leftmost still finds it
+        ("/$", "/", True),
+        ("/$", "/x", False),
+        ("/mid$dle", "/mid$dle-rest", True),  # mid-pattern $ is literal
+        ("/mid$dle", "/middle", False),
+    ]
+    for rule, path, want in cases:
+        assert _rule_match(path, rule) is want, (rule, path)
+        pol = RobotsPolicy({"h.test": RobotsRules(disallow=(rule,))})
+        got = not pol.allowed(["h.test"], [path])[0]
+        assert got is want, (rule, path)
+
+    # longest-match with wildcards: allow '/private/ok*' (11) beats
+    # disallow '/private*' (9); disallow '/private/okno$'-style longer rule
+    # would win back — pattern length decides, allow wins ties
+    pol = RobotsPolicy(
+        {"h.test": RobotsRules(disallow=("/private*",), allow=("/private/ok*",))}
+    )
+    hosts = np.array(["h.test"] * 3, dtype=object)
+    paths = np.array(["/private/x", "/private/ok/y", "/pub"], dtype=object)
+    assert pol.allowed(hosts, paths).tolist() == [False, True, True]
+    # update() invalidates the compiled-rule cache
+    pol.update("h.test", RobotsRules(disallow=("/pub*",)))
+    assert pol.allowed(hosts, paths).tolist() == [True, True, False]
+
+
+def test_robots_wildcard_engine_oracle_agreement():
+    """Property check: engine vectorized matcher ≡ oracle scanner on random
+    rule/path pairs built from a small alphabet (catches translation bugs)."""
+    import itertools
+
+    from crawler_ray.oracle import _rule_match
+    from crawler_ray.state.robots import RobotsPolicy, RobotsRules
+
+    alpha = ["a", "b", "*", ""]
+    paths = ["/" + "".join(p) for p in itertools.product("ab", repeat=4)]
+    rules = set()
+    for parts in itertools.product(alpha, repeat=3):
+        r = "/" + "".join(parts)
+        rules.add(r)
+        rules.add(r + "$")
+    for rule in sorted(rules):
+        pol = RobotsPolicy({"h.test": RobotsRules(disallow=(rule,))})
+        eng = [not x for x in pol.allowed(["h.test"] * len(paths), paths)]
+        orc = [_rule_match(p, rule) for p in paths]
+        assert eng == orc, rule
+
+
 def test_robots_user_agent_groups():
     from crawler_ray.state.robots import RobotsPolicy
 
