@@ -100,8 +100,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": S.bm25_topk,
         "ann_lsh": S.ann_lsh,
         "ann_ivf": S.ann_ivf,
-        # multimodal plumbing
+        # multimodal: real pure-numpy PPM decode over payload blobs
         "media_manifest": M.media_manifest,
+        "media_meta": M.media_meta,
         "media_features": M.media_features,
         "media_resize": M.media_resize,
         "media_frames": M.media_frames,
@@ -153,8 +154,10 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_adjacent": D.jaccard_adjacent_sql(),
         "ann_bruteforce": S.ann_bruteforce_sql(),
         "bm25_topk": S.bm25_topk_sql(),
-        # media_manifest is SQL-expressible over the same corpus parquet
+        # media_manifest is SQL-expressible over the same corpus parquet;
+        # media_meta byte-parses the fixed PPM header of the payload blobs
         "media_manifest": _media_manifest_sql(),
+        "media_meta": _media_meta_sql(),
         # artifact oracles: candidates/signatures/probes taken from the
         # dumped intermediates, verification + aggregation recomputed in SQL
         "minhash_pairs": D.minhash_pairs_sql(_SF_ORACLE),
@@ -169,8 +172,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": S.ann_lsh_sql(_SF_ORACLE),
         "ann_ivf": S.ann_ivf_sql(_SF_ORACLE),
         # still rows-only: winnow_fingerprints (the selection algorithm IS
-        # the op — an oracle reading its own dump would be vacuous) and the
-        # media decode family (pixel stubs, not SQL-expressible).
+        # the op — an oracle reading its own dump would be vacuous) and
+        # media_features/resize/frames (real pixel math, covered by
+        # media_meta's header oracle + pytest's independent decoder).
     }
 
 
@@ -199,6 +203,12 @@ def _export_curated_fresh(sf_dir):
     out = "/tmp/crawler_ray_export/driver_check"
     shutil.rmtree(out, ignore_errors=True)
     return export_curated(sf_dir, out_dir=out)
+
+
+def _media_meta_sql() -> str:
+    from crawler_ray.pipelines.multimodal import media_meta_sql
+
+    return media_meta_sql(_SF_ORACLE)
 
 
 def _media_manifest_sql() -> str:

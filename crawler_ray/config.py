@@ -26,6 +26,12 @@ class CrawlConfig:
     max_depth: int = -1                # -1 = unbounded (O2)
     max_pages: int = -1                # global page budget, -1 = unbounded (O3)
     round_ms: int = 1000               # politeness window one round models (T3)
+    wallclock_politeness: bool = False # opt-in: pad each round's wall-clock
+    # duration to max_h(n_selected_h × effective_delay_h) ms — the reference
+    # sleeps `delay` ms between same-host requests (proto/crawler.proto:26);
+    # aggregated per politeness window this is the same per-host request
+    # rate, enforced in REAL time. Off by default: quotas alone preserve the
+    # oracle-checked schedule without slowing the pipeline.
     blacklist: tuple[str, ...] = ()    # regex URL blacklist (M5)
     stop_flag_path: str = ""           # shutdown flag: checked between rounds
     # AND per fetch batch inside distributed rounds (T6, client.rs:88-99)

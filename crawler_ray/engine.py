@@ -310,8 +310,57 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------ #
     # small-round coordinator path — same kernels, driver-side control
+    def _politeness_wait(self, t_round0: float, host_counts: dict) -> None:
+        """Wallclock politeness (T3 opt-in, ``cfg.wallclock_politeness``):
+        pad the round to the slowest host's n_selected × effective_delay
+        window — the reference's sleep-between-requests behavior
+        (proto/crawler.proto:26) aggregated per round. The host-count dict
+        is driver-side but the mode is inherently rate-limited (a crawl
+        sleeping real politeness delays fetches a bounded number of hosts
+        per window), so it never grows past the round's selected hosts."""
+        from .state.robots import required_round_ms
+
+        req = required_round_ms(
+            host_counts, self.policy, self.cfg.delay_ms, self.cfg.respect_robots_txt
+        )
+        wait = req / 1000.0 - (time.time() - t_round0)
+        if wait > 0:
+            time.sleep(wait)
+            self._lineage("politeness_wait", 0, 0, wait * 1000)
+
+    @staticmethod
+    def _host_counts_table(sel: pa.Table) -> dict:
+        h, c = np.unique(
+            sel.column("host").to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return dict(zip(h.tolist(), c.tolist()))
+
+    @staticmethod
+    def _host_counts_dataset(selected) -> dict:
+        def cnt(t: pa.Table) -> pa.Table:
+            h, c = np.unique(
+                t.column("host").to_numpy(zero_copy_only=False), return_counts=True
+            )
+            return pa.table(
+                {
+                    "host": pa.array(h.astype(object), pa.string()),
+                    "n": pa.array(c.astype(np.int64)),
+                }
+            )
+
+        out: dict = {}
+        rows = (
+            selected.select_columns(["host"])
+            .map_batches(cnt, batch_format="pyarrow")
+            .take_all()
+        )
+        for row in rows:
+            out[row["host"]] = out.get(row["host"], 0) + int(row["n"])
+        return out
+
     def _round_small(self, tab: pa.Table, out_dir: str):
         cfg, r = self.cfg, self.round
+        t_round0 = time.time()
         t0 = time.time()
         sel, deferred = select_small(tab, cfg, self.policy)
         # global budget (O3)
@@ -366,6 +415,8 @@ class CrawlEngine:
         self._lineage("discover", fetched.num_rows, novel.num_rows, (time.time() - t0) * 1000)
 
         nxt = novel if deferred is None else pa.concat_tables([deferred, novel])
+        if cfg.wallclock_politeness:
+            self._politeness_wait(t_round0, self._host_counts_table(sel))
         return fetched, nxt, False
 
     # ------------------------------------------------------------------ #
@@ -374,6 +425,7 @@ class CrawlEngine:
         import ray.data as rd
 
         cfg, r = self.cfg, self.round
+        t_round0 = time.time()
         n_front = frontier.count()
         t0 = time.time()
         selected, deferred = select_frontier(frontier, cfg, self.policy)
@@ -492,6 +544,8 @@ class CrawlEngine:
         self._lineage("discover", n_pages, n_novel, (time.time() - t0) * 1000)
 
         nxt = (novel if deferred is None else deferred.union(novel)).materialize()
+        if cfg.wallclock_politeness:
+            self._politeness_wait(t_round0, self._host_counts_dataset(selected))
         return fetched, nxt, budget_stop
 
     # ------------------------------------------------------------------ #

@@ -1,12 +1,15 @@
-"""Multimodal column handling: media spans are opaque references with typed
-metadata; decode/feature-extract runs as an actor-pool ``map_batches`` stage.
+"""Multimodal column handling: media spans reference opaque binary payloads
+(here: real uncompressed P6 PPM images, synth.ppm_bytes) stored in a payload
+table keyed by media_ref; decode / feature-extract / resize / frame-sample run
+as actor-pool ``map_batches`` stages over a manifest ⋈ payload hash join.
 
-The actual byte decode is a STUB (no image/audio libraries in this container):
-``MediaDecodeStub`` raises ``NotImplementedError`` when asked for real decode
-and otherwise produces a deterministic fake feature vector derived from the
-media_ref hash — so the Ray-side plumbing (schema, batch sizing, actor
-signature, output layout) is real and tested, and a real decoder drops in by
-replacing one method.
+The decode itself is REAL pure-numpy parsing of the image bytes (header +
+``np.frombuffer`` pixel grid) — no image libraries needed for the
+uncompressed format. A compressed-format decoder (JPEG/PNG via PIL,
+video via ffmpeg) would drop in by replacing :func:`decode_ppm`; the stage
+signatures, batch sizing, join plumbing and output schemas are the contract
+and do not change. Per-image work is a Python loop over the batch (decoders
+are inherently per-image), with all pixel math vectorized inside each image.
 """
 
 from __future__ import annotations
@@ -16,10 +19,22 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..state.seen import stable_hash64
-from .crawlq import corpus_for_sf  # noqa: E402  (corpus path helper)
+from ..synth import PPM_HEADER_LEN
+from . import partitions
+from .crawlq import corpus_for_sf, spec_for_sf  # noqa: E402  (corpus helpers)
 
 _FEAT_DIM = 8
+
+
+def decode_ppm(payload) -> np.ndarray:
+    """Parse one P6 PPM payload → (H, W, 3) uint8 array. Pure numpy."""
+    buf = bytes(payload)
+    magic, w, h, maxval = buf[:PPM_HEADER_LEN].split()
+    if magic != b"P6" or maxval != b"255":
+        raise ValueError("not a synth P6 PPM payload")
+    w, h = int(w), int(h)
+    px = np.frombuffer(buf, dtype=np.uint8, offset=PPM_HEADER_LEN, count=h * w * 3)
+    return px.reshape(h, w, 3)
 
 
 def media_manifest(sf_dir: str):
@@ -48,44 +63,136 @@ def media_manifest(sf_dir: str):
     )
 
 
-class MediaDecodeStub:
-    """Actor-pool decode stage. ``real=False`` (the only mode available in
-    this sandbox) emits deterministic pseudo-features; ``real=True`` raises
-    NotImplementedError where PIL/ffmpeg decoding would go."""
+def media_blob_path(sf_dir: str) -> str:
+    """Payload parquet (media_ref, payload) for this sf tier's corpus."""
+    from ..synth import media_path
 
-    def __init__(self, real: bool = False, feat_dim: int = _FEAT_DIM):
-        self.real = real
-        self.feat_dim = feat_dim
+    return media_path(spec_for_sf(sf_dir))
 
-    def _decode_real(self, refs):
-        raise NotImplementedError(
-            "media byte decode needs image/audio libraries not present in this "
-            "environment; swap this method for a PIL/torchvision/ffmpeg decoder"
-        )
 
-    def __call__(self, t: pa.Table) -> pa.Table:
-        refs = t["media_ref"].combine_chunks().to_numpy(zero_copy_only=False)
-        if self.real:
-            self._decode_real(refs)
-        h = stable_hash64(refs)
-        # deterministic fake: 8 floats in [0,1) per ref, derived from its hash
-        mults = (np.arange(1, self.feat_dim + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-        feats = ((h[:, None] * mults[None, :]) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+def manifest_with_payload(sf_dir: str):
+    """manifest ⋈ payload blobs on media_ref — the standard large-side hash
+    join (payloads are data-sized, never a driver broadcast; partition count
+    derives from the blob table's file bytes)."""
+    import os
+
+    import ray.data as rd
+
+    blobs = media_blob_path(sf_dir)
+    np_ = partitions.for_bytes(os.path.getsize(blobs), partitions.TARGET_JOIN_BYTES)
+    return media_manifest(sf_dir).join(
+        rd.read_parquet(blobs),
+        join_type="inner",
+        on=("media_ref",),
+        num_partitions=np_,
+    )
+
+
+def media_meta(sf_dir: str):
+    """Per-manifest-row image metadata decoded from the REAL payload bytes:
+    (doc_id, media_ref, width, height, n_bytes). Oracle:
+    ``media_meta_sql`` parses the same dims out of the fixed-width PPM
+    header with SQL byte functions."""
+
+    def meta(t: pa.Table) -> pa.Table:
+        dims = np.array(
+            [decode_ppm(p).shape for p in t["payload"].to_pylist()], dtype=np.int64
+        ).reshape(-1, 3)
         return pa.table(
             {
                 "doc_id": t["doc_id"].combine_chunks(),
                 "media_ref": t["media_ref"].combine_chunks(),
-                "features": pa.array(list(np.round(feats, 6)), pa.list_(pa.float64(), self.feat_dim)),
-                "is_stub": pa.array(np.ones(len(t), dtype=bool)),
+                "width": pa.array(dims[:, 1].astype(np.int32)),
+                "height": pa.array(dims[:, 0].astype(np.int32)),
+                "n_bytes": pa.array(
+                    pc.binary_length(t["payload"].combine_chunks()).cast(pa.int64())
+                ),
+            }
+        )
+
+    return manifest_with_payload(sf_dir).map_batches(meta, batch_format="pyarrow")
+
+
+def media_meta_sql(sf_dir: str) -> str:
+    """DuckDB oracle for :func:`media_meta` — byte-parse the fixed 13-byte
+    PPM header (b'P6\\nWW HH\\n255\\n') of every joined payload."""
+    corpus = corpus_for_sf(sf_dir)
+    blobs = media_blob_path(sf_dir)
+    return f"""
+    WITH manifest AS (
+        SELECT t.doc_id, u.s['media_ref'] AS media_ref
+        FROM read_parquet('{corpus}') t, UNNEST(t.spans) AS u(s)
+        WHERE u.s['kind'] = 'media'
+    )
+    SELECT m.doc_id, m.media_ref,
+           -- bytes 4-5 / 7-8 of the header are the 2-digit ASCII dims;
+           -- DuckDB has no BLOB substring, so slice the hex dump instead
+           CAST(decode(unhex(substring(hex(b.payload),  7, 4))) AS INTEGER) AS width,
+           CAST(decode(unhex(substring(hex(b.payload), 13, 4))) AS INTEGER) AS height,
+           CAST(OCTET_LENGTH(b.payload) AS BIGINT)  AS n_bytes
+    FROM manifest m JOIN read_parquet('{blobs}') b USING (media_ref)
+    """
+
+
+class MediaDecode:
+    """Actor-pool decode + feature stage over real payload bytes.
+
+    Features (``feat_dim=8``): [w, h, n_px, mean_r, mean_g, mean_b,
+    gray_mean, gray_std] — all derived from the decoded pixel grid.
+    Batches missing a ``payload`` column (an external corpus without blobs)
+    fall back to deterministic hash features with ``is_stub=True`` so the
+    pipeline shape still runs end-to-end."""
+
+    def __init__(self, feat_dim: int = _FEAT_DIM):
+        self.feat_dim = feat_dim
+
+    def _features(self, payloads) -> np.ndarray:
+        out = np.empty((len(payloads), self.feat_dim), dtype=np.float64)
+        for i, p in enumerate(payloads):
+            img = decode_ppm(p)
+            h, w, _ = img.shape
+            f = img.astype(np.float64)
+            mean_rgb = f.mean(axis=(0, 1))
+            gray = f @ np.array([0.299, 0.587, 0.114])
+            out[i] = (w, h, w * h, *mean_rgb, gray.mean(), gray.std())
+        return out
+
+    def _stub_features(self, refs) -> np.ndarray:
+        from ..state.seen import stable_hash64
+
+        h = stable_hash64(np.asarray(refs, dtype=object))
+        mults = (
+            np.arange(1, self.feat_dim + 1, dtype=np.uint64)
+            * np.uint64(0x9E3779B97F4A7C15)
+        )
+        return ((h[:, None] * mults[None, :]) >> np.uint64(11)).astype(
+            np.float64
+        ) / float(1 << 53)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        is_stub = "payload" not in t.column_names
+        if is_stub:
+            refs = t["media_ref"].combine_chunks().to_numpy(zero_copy_only=False)
+            feats = self._stub_features(refs)
+        else:
+            feats = self._features(t["payload"].to_pylist())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks(),
+                "media_ref": t["media_ref"].combine_chunks(),
+                "features": pa.array(
+                    list(np.round(feats, 6)), pa.list_(pa.float64(), self.feat_dim)
+                ),
+                "is_stub": pa.array(np.full(len(t), is_stub)),
             }
         )
 
 
 def media_features(sf_dir: str):
-    """Manifest → actor-pool decode/feature stage. Small batches (media rows
-    are payload-heavy in real corpora), pool sized explicitly."""
-    return media_manifest(sf_dir).map_batches(
-        MediaDecodeStub,
+    """manifest ⋈ payloads → actor-pool decode/feature stage. Small batches
+    (media rows are payload-heavy), pool sized explicitly."""
+    return manifest_with_payload(sf_dir).map_batches(
+        MediaDecode,
         batch_format="pyarrow",
         batch_size=1024,
         concurrency=2,
@@ -93,30 +200,45 @@ def media_features(sf_dir: str):
     )
 
 
-class MediaResizeStub:
-    """Actor-pool resize stage (image path of the multimodal family). Real
-    mode would decode → resize → re-encode via PIL; the sandbox stub derives
-    deterministic source dimensions from the ref hash and emits the
-    post-resize metadata the downstream schema needs — the Ray plumbing
-    (actor signature, batch size, output layout) is the real contract."""
+def box_resize(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Box-filter downscale via a 2-D integral image — each output pixel is
+    the mean of its source bucket. Pure numpy, exact integer bucket edges."""
+    h, w, _ = img.shape
+    ys = (np.arange(out_h + 1) * h) // out_h
+    xs = (np.arange(out_w + 1) * w) // out_w
+    ii = np.zeros((h + 1, w + 1, 3), dtype=np.int64)
+    ii[1:, 1:] = img.astype(np.int64).cumsum(axis=0).cumsum(axis=1)
+    y0, y1 = ys[:-1], ys[1:]
+    x0, x1 = xs[:-1], xs[1:]
+    sums = ii[y1][:, x1] - ii[y0][:, x1] - ii[y1][:, x0] + ii[y0][:, x0]
+    areas = ((y1 - y0)[:, None] * (x1 - x0)[None, :])[..., None]
+    return (sums // np.maximum(areas, 1)).astype(np.uint8)
 
-    def __init__(self, target: int = 256, real: bool = False):
+
+class MediaResize:
+    """Actor-pool resize stage: decode real bytes, box-filter into the
+    target box (never upscales), emit post-resize metadata plus the resized
+    image's mean intensity (proof the pixel pass really ran)."""
+
+    def __init__(self, target: int = 256):
         self.target = target
-        self.real = real
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        refs = t["media_ref"].combine_chunks().to_numpy(zero_copy_only=False)
-        if self.real:
-            raise NotImplementedError(
-                "image resize needs PIL/torchvision, absent in this environment"
-            )
-        h = stable_hash64(refs)
-        src_w = (h % np.uint64(3840) + np.uint64(64)).astype(np.int64)
-        src_h = ((h >> np.uint64(17)) % np.uint64(2160) + np.uint64(64)).astype(np.int64)
-        scale = self.target / np.maximum(src_w, src_h)
-        scale = np.minimum(scale, 1.0)  # never upscale
-        out_w = np.maximum((src_w * scale).astype(np.int64), 1)
-        out_h = np.maximum((src_h * scale).astype(np.int64), 1)
+        n = len(t)
+        src_w = np.empty(n, dtype=np.int64)
+        src_h = np.empty(n, dtype=np.int64)
+        out_w = np.empty(n, dtype=np.int64)
+        out_h = np.empty(n, dtype=np.int64)
+        out_mean = np.empty(n, dtype=np.float64)
+        for i, p in enumerate(t["payload"].to_pylist()):
+            img = decode_ppm(p)
+            h, w, _ = img.shape
+            scale = min(self.target / max(w, h), 1.0)  # never upscale
+            ow = max(int(w * scale), 1)
+            oh = max(int(h * scale), 1)
+            small = box_resize(img, ow, oh)
+            src_w[i], src_h[i], out_w[i], out_h[i] = w, h, ow, oh
+            out_mean[i] = small.mean()
         return pa.table(
             {
                 "doc_id": t["doc_id"].combine_chunks(),
@@ -125,15 +247,16 @@ class MediaResizeStub:
                 "src_h": pa.array(src_h),
                 "out_w": pa.array(out_w),
                 "out_h": pa.array(out_h),
-                "is_stub": pa.array(np.ones(len(t), dtype=bool)),
+                "out_mean": pa.array(np.round(out_mean, 6)),
+                "is_stub": pa.array(np.zeros(n, dtype=bool)),
             }
         )
 
 
 def media_resize(sf_dir: str, target: int = 256):
-    """Manifest → actor-pool resize metadata stage."""
-    return media_manifest(sf_dir).map_batches(
-        MediaResizeStub,
+    """manifest ⋈ payloads → actor-pool real resize stage."""
+    return manifest_with_payload(sf_dir).map_batches(
+        MediaResize,
         fn_constructor_kwargs={"target": target},
         batch_format="pyarrow",
         batch_size=1024,
@@ -142,27 +265,28 @@ def media_resize(sf_dir: str, target: int = 256):
     )
 
 
-class MediaFrameSampleStub:
+class MediaFrameSample:
     """Actor-pool frame-sampling stage (video path): each media ref expands
     to ``n_frames`` evenly-spaced frame references with timestamps over a
-    deterministic stub duration (real mode = ffmpeg keyframe extraction).
-    One input row → n output rows, the flat_map-shaped transform a video
-    pipeline needs."""
+    payload-derived duration (a real video decoder would read the container
+    duration; the still-image corpus stands in bytes-for-bytes). One input
+    row → n output rows, the flat_map-shaped transform a video pipeline
+    needs."""
 
-    def __init__(self, n_frames: int = 4, real: bool = False):
+    def __init__(self, n_frames: int = 4):
         self.n_frames = n_frames
-        self.real = real
 
     def __call__(self, t: pa.Table) -> pa.Table:
         refs = t["media_ref"].combine_chunks().to_numpy(zero_copy_only=False)
-        if self.real:
-            raise NotImplementedError(
-                "frame extraction needs ffmpeg, absent in this environment"
-            )
+        n_bytes = (
+            pc.binary_length(t["payload"].combine_chunks())
+            .cast(pa.int64())
+            .to_numpy()
+        )
         k = self.n_frames
         n = len(refs)
-        h = stable_hash64(refs)
-        duration_ms = (h % np.uint64(600_000) + np.uint64(1_000)).astype(np.int64)
+        # duration ∝ payload size: 1 s floor + 1 ms per 3-byte pixel
+        duration_ms = 1_000 + (n_bytes - PPM_HEADER_LEN) // 3
         frame_idx = np.tile(np.arange(k, dtype=np.int64), n)
         ts_ms = (np.repeat(duration_ms, k) * (frame_idx * 2 + 1)) // (2 * k)
         rep = np.repeat(np.arange(n), k)
@@ -181,9 +305,9 @@ class MediaFrameSampleStub:
 
 
 def media_frames(sf_dir: str, n_frames: int = 4):
-    """Manifest → actor-pool frame-sample stage (1 row → n_frames rows)."""
-    return media_manifest(sf_dir).map_batches(
-        MediaFrameSampleStub,
+    """manifest ⋈ payloads → actor-pool frame-sample stage (1 row → n rows)."""
+    return manifest_with_payload(sf_dir).map_batches(
+        MediaFrameSample,
         fn_constructor_kwargs={"n_frames": n_frames},
         batch_format="pyarrow",
         batch_size=1024,

@@ -225,3 +225,21 @@ def plan_quotas(
         d = policy.effective_delay_ms(host, base_delay_ms) if respect_robots else base_delay_ms
         quotas[host] = None if d <= 0 else max(1, round_ms // d)
     return quotas
+
+
+def required_round_ms(
+    host_counts: dict[str, int],
+    policy: RobotsPolicy,
+    base_delay_ms: int,
+    respect_robots: bool = True,
+) -> int:
+    """Wall-clock floor of one round under real politeness: the slowest
+    host's ``n_selected × effective_delay`` ms (T3 wallclock mode — the
+    reference sleeps ``delay`` ms between same-host requests,
+    proto/crawler.proto:26). Hosts with no effective delay contribute 0."""
+    req = 0
+    for host, n in host_counts.items():
+        d = policy.effective_delay_ms(host, base_delay_ms) if respect_robots else base_delay_ms
+        if d > 0:
+            req = max(req, int(n) * d)
+    return req

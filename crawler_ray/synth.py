@@ -54,7 +54,7 @@ class CorpusSpec:
     def host_page_count(self, i: int) -> int:
         return self.pages_per_host * (self.hot_host_factor if i == 0 else 1)
 
-    GEN_VERSION = 3  # bump when generator content changes for identical specs
+    GEN_VERSION = 4  # bump when generator content changes for identical specs
 
     def cache_key(self) -> str:
         return hashlib.sha1(f"{self!r}v{self.GEN_VERSION}".encode()).hexdigest()[:12]
@@ -142,7 +142,7 @@ def gen_host_docs(spec: CorpusSpec, host_index: int) -> pa.Table:
                 kinds.append("media")
                 texts.append("")
                 media.append(
-                    f"media://site-{host_index:04d}/img-{int(tgt_draw[k]) % 10_000:04d}.png"
+                    f"media://site-{host_index:04d}/img-{int(tgt_draw[k]) % 10_000:04d}.ppm"
                 )
             else:
                 kinds.append("text")
@@ -229,6 +229,57 @@ def gen_robots(spec: CorpusSpec) -> pa.Table:
         ],
         schema=schemas.ROBOTS,
     )
+
+
+# ---------------------------- media payloads ------------------------------ #
+#
+# Every media_ref resolves to a REAL uncompressed image: a binary P6 PPM
+# whose header is fixed-width (13 bytes: b"P6\nWW HH\n255\n", dims 10..40 so
+# both are always two digits) followed by H*W*3 raw RGB bytes. Deterministic
+# per ref (sha1-seeded RNG), so shards can generate payloads independently
+# and SQL oracles can parse dims straight out of the header bytes.
+
+PPM_HEADER_LEN = 13
+
+
+def ppm_bytes(ref: str) -> bytes:
+    """Deterministic P6 PPM payload for one media ref."""
+    seed = int.from_bytes(hashlib.sha1(ref.encode()).digest()[:8], "little")
+    rng = np.random.default_rng(seed)
+    w = int(rng.integers(10, 41))
+    h = int(rng.integers(10, 41))
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    header = f"P6\n{w:02d} {h:02d}\n255\n".encode()
+    assert len(header) == PPM_HEADER_LEN
+    return header + px.tobytes()
+
+
+def gen_media(corpus: pa.Table) -> pa.Table:
+    """Distinct media refs of a corpus table → (media_ref, payload) blobs."""
+    import pyarrow.compute as pc
+
+    flat = pc.list_flatten(corpus["spans"].combine_chunks())
+    is_media = pc.equal(pc.struct_field(flat, "kind"), "media")
+    refs = sorted(
+        pc.unique(pc.filter(pc.struct_field(flat, "media_ref"), is_media)).to_pylist()
+    )
+    return pa.table(
+        {
+            "media_ref": pa.array(refs, pa.string()),
+            "payload": pa.array([ppm_bytes(r) for r in refs], pa.binary()),
+        }
+    )
+
+
+def media_path(spec: CorpusSpec, root: str = "/tmp/crawler_ray_corpus") -> str:
+    """Write (once) and return the media payload parquet for this spec."""
+    cp = corpus_path(spec, root)
+    path = os.path.join(root, spec.cache_key(), "media.parquet")
+    if not os.path.exists(path):
+        tmp = path + f".tmp{os.getpid()}"
+        pq.write_table(gen_media(pq.read_table(cp)), tmp)
+        os.replace(tmp, path)
+    return path
 
 
 def corpus_path(spec: CorpusSpec, root: str = "/tmp/crawler_ray_corpus") -> str:

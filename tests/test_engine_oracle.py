@@ -129,6 +129,40 @@ def test_scan_mode_stop_callback(fixtures, ray_session, tmp_path):
     assert res.pages_fetched < len(o.fetched)
 
 
+def test_wallclock_politeness(fixtures, ray_session):
+    """Opt-in wallclock mode: identical schedule to the modeled-politeness
+    oracle, but each round REALLY lasts ≥ max_h(n_h × delay_h) wall ms
+    (reference sleeps `delay` between requests, proto/crawler.proto:26)."""
+    import time as _t
+
+    from crawler_ray.engine import run_crawl
+    from crawler_ray.oracle import host_of
+
+    cfg = CrawlConfig(
+        url="https://site-0000.test/",
+        delay_ms=100,
+        round_ms=300,
+        max_pages=12,
+        wallclock_politeness=True,
+    )
+    t0 = _t.time()
+    res = run_crawl(fixtures["cp"], cfg, fixtures["robots"])
+    elapsed = _t.time() - t0
+    o = oracle_crawl(fixtures["cd"], cfg, fixtures["rd"])
+    assert set(res.visited) == o.visited          # schedule unchanged
+    assert res.pages_fetched == len(o.fetched)
+    # wall floor from the oracle's per-round per-host fetch counts
+    per_round: dict = {}
+    for (u, d, rnd, s, sp) in o.fetched:
+        hosts = per_round.setdefault(rnd, {})
+        hosts[host_of(u)] = hosts.get(host_of(u), 0) + 1
+    need = sum(max(hosts.values()) * cfg.delay_ms for hosts in per_round.values())
+    assert need >= 400  # the config must actually exercise the floor
+    assert elapsed >= need / 1000 * 0.95
+    waits = res.lineage.to_pandas()
+    assert (waits["stage"] == "politeness_wait").any()
+
+
 @pytest.mark.parametrize(
     "kw",
     [

@@ -46,7 +46,7 @@ def test_query_matches_duckdb(name, ray_session):
 
 
 @pytest.mark.parametrize(
-    "name", ["corpus_links", "span_profile", "media_manifest", "crawl_bfs"]
+    "name", ["corpus_links", "span_profile", "media_manifest", "media_meta", "crawl_bfs"]
 )
 def test_corpus_query_matches_duckdb(name, ray_session):
     """Corpus-backed queries: oracle SQL embeds the sf0.01 corpus path, so
@@ -222,24 +222,61 @@ def test_ann_approx_recall(ray_session, variant):
         assert qid in set(approx.loc[approx["qid"] == qid, "vec_id"])
 
 
-def test_media_decode_stub(ray_session):
-    from crawler_ray.pipelines.multimodal import MediaDecodeStub, media_features
+def _independent_ppm_decode(payload: bytes):
+    """Plain-Python PPM parser, deliberately independent of the engine's
+    numpy frombuffer path: header via text split, pixels via int() over a
+    memoryview loop."""
+    nl1 = payload.index(b"\n")
+    nl2 = payload.index(b"\n", nl1 + 1)
+    nl3 = payload.index(b"\n", nl2 + 1)
+    assert payload[:nl1] == b"P6" and payload[nl2 + 1 : nl3] == b"255"
+    w, h = (int(x) for x in payload[nl1 + 1 : nl2].split())
+    px = [int(b) for b in memoryview(payload)[nl3 + 1 :]]
+    assert len(px) == w * h * 3
+    return w, h, px
+
+
+def test_media_decode_real(ray_session):
+    """media_features derives features from REAL decoded pixel bytes: check
+    a sample of rows against an independent pure-Python PPM parser."""
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.multimodal import MediaDecode, media_blob_path, media_features
 
     out = to_df(media_features(SF))
     assert len(out) > 0
-    assert out["is_stub"].all()
+    assert (~out["is_stub"]).all()
     assert all(len(f) == 8 for f in out["features"])
     # determinism: same ref → same features
     dup = out.groupby("media_ref")["features"].apply(
         lambda s: len({tuple(np.asarray(f)) for f in s})
     )
     assert (dup == 1).all()
-    # the real-decode path is an explicit stub
+
+    blobs = pq.read_table(media_blob_path(SF)).to_pylist()
+    by_ref = {r["media_ref"]: r["payload"] for r in blobs}
+    for _, row in out.drop_duplicates("media_ref").head(5).iterrows():
+        w, h, px = _independent_ppm_decode(bytes(by_ref[row["media_ref"]]))
+        f = np.asarray(row["features"])
+        assert (f[0], f[1], f[2]) == (w, h, w * h)
+        mean_r = sum(px[0::3]) / (w * h)
+        mean_g = sum(px[1::3]) / (w * h)
+        mean_b = sum(px[2::3]) / (w * h)
+        assert np.allclose(f[3:6], [mean_r, mean_g, mean_b], atol=1e-5)
+        gray = [
+            0.299 * px[i] + 0.587 * px[i + 1] + 0.114 * px[i + 2]
+            for i in range(0, len(px), 3)
+        ]
+        gm = sum(gray) / len(gray)
+        gs = (sum((g - gm) ** 2 for g in gray) / len(gray)) ** 0.5
+        assert np.allclose(f[6:8], [gm, gs], atol=1e-4)
+
+    # payload-less batches (external corpus without blobs) fall back to the
+    # deterministic hash-feature stub
     import pyarrow as pa
 
-    stub = MediaDecodeStub(real=True)
-    with pytest.raises(NotImplementedError):
-        stub(pa.table({"doc_id": ["d"], "media_ref": ["m"]}))
+    stub_out = MediaDecode()(pa.table({"doc_id": ["d"], "media_ref": ["m"]}))
+    assert stub_out["is_stub"].to_pylist() == [True]
 
 
 def test_quality_and_langid_shapes(ray_session):
@@ -273,18 +310,35 @@ def test_dup_clusters_distributed_matches_inmemory(ray_session, tmp_path):
 
 
 def test_media_resize_and_frames(ray_session):
-    """Multimodal actor-pool stages: resize never upscales and respects the
-    target box; frame sampling expands every media row to n_frames ordered
-    frame refs; both deterministic across runs."""
-    from crawler_ray.pipelines.multimodal import media_frames, media_manifest, media_resize
+    """Multimodal actor-pool stages: resize box-filters REAL pixels (never
+    upscales, respects the target box, mean is pixel-derived); frame
+    sampling expands every media row to n_frames ordered frame refs with
+    payload-derived durations; both deterministic across runs."""
+    from crawler_ray.pipelines.multimodal import (
+        box_resize,
+        decode_ppm,
+        media_frames,
+        media_manifest,
+        media_resize,
+    )
+    from crawler_ray.synth import ppm_bytes
 
     sf = "/root/testdata/sf0.001"
     n_media = media_manifest(sf).count()
-    r = media_resize(sf, target=128).to_pandas()
+    r = media_resize(sf, target=16).to_pandas()
     assert len(r) == n_media
-    assert (r[["out_w", "out_h"]].max(axis=1) <= 128).all()
+    assert (~r["is_stub"]).all()
+    assert (r[["out_w", "out_h"]].max(axis=1) <= 16).all()
     assert ((r["out_w"] <= r["src_w"]) & (r["out_h"] <= r["src_h"])).all()
-    r2 = media_resize(sf, target=128).to_pandas()
+    assert ((r["out_mean"] >= 0) & (r["out_mean"] <= 255)).all()
+    # box-filter preserves the global mean to within quantization error
+    ref = r.iloc[0]["media_ref"]
+    img = decode_ppm(ppm_bytes(ref))
+    row = r[r["media_ref"] == ref].iloc[0]
+    small = box_resize(img, int(row["out_w"]), int(row["out_h"]))
+    assert row["out_mean"] == round(float(small.mean()), 6)
+    assert abs(small.mean() - img.mean()) < 8  # floor-division bias only
+    r2 = media_resize(sf, target=16).to_pandas()
     assert r.sort_values(["doc_id", "media_ref"]).reset_index(drop=True).equals(
         r2.sort_values(["doc_id", "media_ref"]).reset_index(drop=True)
     )
@@ -294,6 +348,10 @@ def test_media_resize_and_frames(ray_session):
     one = f[f["media_ref"] == f["media_ref"].iloc[0]].sort_values("frame_idx")
     assert list(one["frame_idx"])[:3] == [0, 1, 2]
     assert one["ts_ms"].is_monotonic_increasing
+    # duration is payload-derived: 1s + 1ms per pixel
+    h_, w_, _ = decode_ppm(ppm_bytes(one.iloc[0]["media_ref"])).shape
+    dur = 1_000 + w_ * h_
+    assert one.iloc[-1]["ts_ms"] == (dur * 5) // 6  # midpoint of last third
 
 
 def test_curation_composition(ray_session, tmp_path):
