@@ -23,8 +23,16 @@ import sys
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="crawler_ray")
-    p.add_argument("mode", choices=["crawl", "scan"], help="batch vs streaming mode (reference Crawl/Scan endpoints)")
-    p.add_argument("--url", required=True, help="seed URL (ScanRequest.url)")
+    p.add_argument(
+        "mode",
+        choices=["crawl", "scan", "serve"],
+        help="batch vs streaming mode (reference Crawl/Scan endpoints), or "
+        "serve: boot the HTTP job-intake server (reference gRPC server boot, "
+        "src/main.rs:16-22; endpoints in crawler_ray/rpc.py)",
+    )
+    p.add_argument("--url", default="", help="seed URL (ScanRequest.url; required for crawl/scan)")
+    p.add_argument("--host", default="127.0.0.1", help="serve: bind host")
+    p.add_argument("--port", type=int, default=50055, help="serve: bind port (reference default GRPC_HOST_API port)")
     p.add_argument("--id", default="0", help="crawl/user id (ScanRequest.id)")
     p.add_argument("--norobots", action="store_true", help="ignore robots.txt (ScanRequest.norobots)")
     p.add_argument("--agent", default="crawler_ray/0.1", help="user agent (ScanRequest.agent)")
@@ -75,6 +83,26 @@ def main(argv=None) -> int:
             cp = corpus_path(spec)
             robots = pq.read_table(args.robots or robots_path(spec))
 
+        if args.mode == "serve":
+            from .rpc import serve
+
+            httpd, _svc = serve(
+                cp, robots, host=args.host, port=args.port, out_root=args.out
+            )
+            h, p = httpd.server_address
+            print(json.dumps({"serving": f"http://{h}:{p}"}), flush=True)
+            try:
+                httpd.serve_forever()
+            except KeyboardInterrupt:
+                pass
+            finally:
+                httpd.shutdown()
+                httpd.server_close()
+            return 0
+
+        if not args.url:
+            print("--url is required for crawl/scan", file=sys.stderr)
+            return 2
         cfg = CrawlConfig(
             url=args.url,
             crawl_id=args.id,
