@@ -104,7 +104,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_manifest": M.media_manifest,
         "media_meta": M.media_meta,
         "media_features": M.media_features,
-        "media_resize": M.media_resize,
+        # target=16 so the registered query exercises real box-filter
+        # downscaling (source dims are 10-40; the default 256 would be a
+        # no-op resize at this payload size)
+        "media_resize": lambda sf: M.media_resize(sf, target=16),
         "media_frames": M.media_frames,
     }
 
@@ -158,6 +161,11 @@ def oracle_sql() -> dict[str, str]:
         # media_meta byte-parses the fixed PPM header of the payload blobs
         "media_manifest": _media_manifest_sql(),
         "media_meta": _media_meta_sql(),
+        # media pixel-math oracles recompute decode/box-filter/frame-sample
+        # from the raw payload bytes (hex-parsed in SQL, exact integer sums)
+        "media_features": _media_sql("media_features_sql"),
+        "media_resize": _media_sql("media_resize_sql", target=16),
+        "media_frames": _media_sql("media_frames_sql"),
         # artifact oracles: candidates/signatures/probes taken from the
         # dumped intermediates, verification + aggregation recomputed in SQL
         "minhash_pairs": D.minhash_pairs_sql(_SF_ORACLE),
@@ -171,10 +179,9 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": T.decontaminate_sql(_SF_ORACLE),
         "ann_lsh": S.ann_lsh_sql(_SF_ORACLE),
         "ann_ivf": S.ann_ivf_sql(_SF_ORACLE),
-        # still rows-only: winnow_fingerprints (the selection algorithm IS
-        # the op — an oracle reading its own dump would be vacuous) and
-        # media_features/resize/frames (real pixel math, covered by
-        # media_meta's header oracle + pytest's independent decoder).
+        # still rows-only: winnow_fingerprints only (the selection algorithm
+        # IS the op — an oracle reading its own dump would be vacuous; its
+        # kernel is value-checked through winnow_overlap_pairs/decontaminate).
     }
 
 
@@ -203,6 +210,12 @@ def _export_curated_fresh(sf_dir):
     out = "/tmp/crawler_ray_export/driver_check"
     shutil.rmtree(out, ignore_errors=True)
     return export_curated(sf_dir, out_dir=out)
+
+
+def _media_sql(builder: str, **kw) -> str:
+    from crawler_ray.pipelines import multimodal as M
+
+    return getattr(M, builder)(_SF_ORACLE, **kw)
 
 
 def _media_meta_sql() -> str:

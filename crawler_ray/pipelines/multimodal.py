@@ -21,6 +21,7 @@ import pyarrow.compute as pc
 
 from ..synth import PPM_HEADER_LEN
 from . import partitions
+from .rounding import round_np
 from .crawlq import corpus_for_sf, spec_for_sf  # noqa: E402  (corpus helpers)
 
 _FEAT_DIM = 8
@@ -137,55 +138,97 @@ def media_meta_sql(sf_dir: str) -> str:
 class MediaDecode:
     """Actor-pool decode + feature stage over real payload bytes.
 
-    Features (``feat_dim=8``): [w, h, n_px, mean_r, mean_g, mean_b,
-    gray_mean, gray_std] — all derived from the decoded pixel grid.
-    Batches missing a ``payload`` column (an external corpus without blobs)
-    fall back to deterministic hash features with ``is_stub=True`` so the
-    pipeline shape still runs end-to-end."""
+    Output stats (flat named columns so a DuckDB oracle can hash-check every
+    value): width, height, n_px, mean_r/g/b, gray_mean, gray_std — all
+    derived from the decoded pixel grid via EXACT integer channel sums
+    (Σc, Σc², Σc·c') so the float expressions below are reproduced
+    bit-for-bit by :func:`media_features_sql` (same IEEE ops in the same
+    order). A downstream embedding consumer packs them into a vector with
+    one ``map_batches`` (the list-vector shape is exercised by the ANN
+    family). Batches missing a ``payload`` column (an external corpus
+    without blobs) fall back to deterministic hash features with
+    ``is_stub=True`` so the pipeline shape still runs end-to-end."""
 
-    def __init__(self, feat_dim: int = _FEAT_DIM):
-        self.feat_dim = feat_dim
+    STAT_COLS = ("mean_r", "mean_g", "mean_b", "gray_mean", "gray_std")
 
-    def _features(self, payloads) -> np.ndarray:
-        out = np.empty((len(payloads), self.feat_dim), dtype=np.float64)
+    def _features(self, payloads) -> dict:
+        n_imgs = len(payloads)
+        out = {
+            "width": np.empty(n_imgs, dtype=np.int32),
+            "height": np.empty(n_imgs, dtype=np.int32),
+            "n_px": np.empty(n_imgs, dtype=np.int64),
+        }
+        for k in self.STAT_COLS:
+            out[k] = np.empty(n_imgs, dtype=np.float64)
         for i, p in enumerate(payloads):
             img = decode_ppm(p)
             h, w, _ = img.shape
-            f = img.astype(np.float64)
-            mean_rgb = f.mean(axis=(0, 1))
-            gray = f @ np.array([0.299, 0.587, 0.114])
-            out[i] = (w, h, w * h, *mean_rgb, gray.mean(), gray.std())
+            n = float(h * w)
+            px = img.reshape(-1, 3).astype(np.int64)
+            sr, sg, sb = (float(x) for x in px.sum(axis=0))
+            # exact integer cross-products (< 2^53, so the float casts and
+            # the arithmetic below match the SQL oracle bit-for-bit)
+            rr, gg, bb = (float(x) for x in (px * px).sum(axis=0))
+            rg = float((px[:, 0] * px[:, 1]).sum())
+            rb = float((px[:, 0] * px[:, 2]).sum())
+            gb = float((px[:, 1] * px[:, 2]).sum())
+            gray_mean = (0.299 * sr + 0.587 * sg + 0.114 * sb) / n
+            e2 = (
+                0.299 * 0.299 * rr
+                + 0.587 * 0.587 * gg
+                + 0.114 * 0.114 * bb
+                + 2.0 * 0.299 * 0.587 * rg
+                + 2.0 * 0.299 * 0.114 * rb
+                + 2.0 * 0.587 * 0.114 * gb
+            ) / n
+            out["width"][i], out["height"][i], out["n_px"][i] = w, h, h * w
+            out["mean_r"][i], out["mean_g"][i], out["mean_b"][i] = (
+                sr / n,
+                sg / n,
+                sb / n,
+            )
+            out["gray_mean"][i] = gray_mean
+            out["gray_std"][i] = np.sqrt(max(e2 - gray_mean * gray_mean, 0.0))
         return out
 
-    def _stub_features(self, refs) -> np.ndarray:
+    def _stub_features(self, refs) -> dict:
         from ..state.seen import stable_hash64
 
         h = stable_hash64(np.asarray(refs, dtype=object))
         mults = (
-            np.arange(1, self.feat_dim + 1, dtype=np.uint64)
+            np.arange(1, len(self.STAT_COLS) + 1, dtype=np.uint64)
             * np.uint64(0x9E3779B97F4A7C15)
         )
-        return ((h[:, None] * mults[None, :]) >> np.uint64(11)).astype(
+        feats = ((h[:, None] * mults[None, :]) >> np.uint64(11)).astype(
             np.float64
         ) / float(1 << 53)
+        out = {
+            "width": np.zeros(len(refs), dtype=np.int32),
+            "height": np.zeros(len(refs), dtype=np.int32),
+            "n_px": np.zeros(len(refs), dtype=np.int64),
+        }
+        for j, k in enumerate(self.STAT_COLS):
+            out[k] = feats[:, j]
+        return out
 
     def __call__(self, t: pa.Table) -> pa.Table:
         is_stub = "payload" not in t.column_names
         if is_stub:
             refs = t["media_ref"].combine_chunks().to_numpy(zero_copy_only=False)
-            feats = self._stub_features(refs)
+            stats = self._stub_features(refs)
         else:
-            feats = self._features(t["payload"].to_pylist())
-        return pa.table(
-            {
-                "doc_id": t["doc_id"].combine_chunks(),
-                "media_ref": t["media_ref"].combine_chunks(),
-                "features": pa.array(
-                    list(np.round(feats, 6)), pa.list_(pa.float64(), self.feat_dim)
-                ),
-                "is_stub": pa.array(np.full(len(t), is_stub)),
-            }
-        )
+            stats = self._features(t["payload"].to_pylist())
+        cols = {
+            "doc_id": t["doc_id"].combine_chunks(),
+            "media_ref": t["media_ref"].combine_chunks(),
+            "width": pa.array(stats["width"]),
+            "height": pa.array(stats["height"]),
+            "n_px": pa.array(stats["n_px"]),
+        }
+        for k in self.STAT_COLS:
+            cols[k] = pa.array(round_np(stats[k], 6))
+        cols["is_stub"] = pa.array(np.full(len(t), is_stub))
+        return pa.table(cols)
 
 
 def media_features(sf_dir: str):
@@ -198,6 +241,180 @@ def media_features(sf_dir: str):
         concurrency=2,
         num_cpus=1,
     )
+
+
+# byte j (0-based) of a blob, via its hex dump — DuckDB 1.0 has no direct
+# blob indexing (shared by the three pixel-math oracles below)
+_SQL_BYTE = (
+    "(16 * (strpos('0123456789ABCDEF', substring(hx, 2*j + 1, 1)) - 1)"
+    " + strpos('0123456789ABCDEF', substring(hx, 2*j + 2, 1)) - 1)"
+)
+
+
+def _sql_pixels(blobs: str) -> str:
+    """CTE fragment: one row per (media_ref, pixel byte) with its channel and
+    pixel coordinates, parsed straight out of the PPM payload bytes."""
+    return f"""
+    blobs AS (
+        SELECT media_ref, hex(payload) AS hx,
+               CAST(OCTET_LENGTH(payload) AS BIGINT) AS len,
+               CAST(decode(unhex(substring(hex(payload),  7, 4))) AS BIGINT) AS w,
+               CAST(decode(unhex(substring(hex(payload), 13, 4))) AS BIGINT) AS h
+        FROM read_parquet('{blobs}')
+    ),
+    pixels AS (
+        SELECT media_ref, w, h, j - {PPM_HEADER_LEN} AS pj,
+               (j - {PPM_HEADER_LEN}) % 3 AS chan,
+               ((j - {PPM_HEADER_LEN}) // 3) // w AS y,
+               ((j - {PPM_HEADER_LEN}) // 3) % w AS x,
+               {_SQL_BYTE} AS b
+        FROM blobs, UNNEST(generate_series({PPM_HEADER_LEN}, len - 1)) AS g(j)
+    )"""
+
+
+def media_features_sql(sf_dir: str) -> str:
+    """DuckDB oracle for :func:`media_features`: recompute every stat from
+    the raw payload bytes. The float expressions mirror ``MediaDecode``
+    token-for-token (``0.299e0`` literals force DOUBLE arithmetic; DuckDB
+    decimal literals would otherwise change the math), so values match the
+    engine's round_np(·, 6) (half-away, the repo-wide DuckDB parity mode) exactly."""
+    corpus = corpus_for_sf(sf_dir)
+    blobs = media_blob_path(sf_dir)
+    return f"""
+    WITH manifest AS (
+        SELECT t.doc_id, u.s['media_ref'] AS media_ref
+        FROM read_parquet('{corpus}') t, UNNEST(t.spans) AS u(s)
+        WHERE u.s['kind'] = 'media'
+    ),
+    {_sql_pixels(blobs)},
+    sums AS (
+        SELECT media_ref, MAX(w) AS w, MAX(h) AS h,
+               CAST(MAX(w) * MAX(h) AS DOUBLE) AS n,
+               CAST(SUM(CASE WHEN chan = 0 THEN b ELSE 0 END) AS DOUBLE) AS sr,
+               CAST(SUM(CASE WHEN chan = 1 THEN b ELSE 0 END) AS DOUBLE) AS sg,
+               CAST(SUM(CASE WHEN chan = 2 THEN b ELSE 0 END) AS DOUBLE) AS sb,
+               CAST(SUM(CASE WHEN chan = 0 THEN b * b ELSE 0 END) AS DOUBLE) AS rr,
+               CAST(SUM(CASE WHEN chan = 1 THEN b * b ELSE 0 END) AS DOUBLE) AS gg,
+               CAST(SUM(CASE WHEN chan = 2 THEN b * b ELSE 0 END) AS DOUBLE) AS bb
+        FROM pixels GROUP BY media_ref
+    ),
+    cross_sums AS (
+        SELECT media_ref,
+               CAST(SUM(r * g) AS DOUBLE) AS rg,
+               CAST(SUM(r * bl) AS DOUBLE) AS rb,
+               CAST(SUM(g * bl) AS DOUBLE) AS gb
+        FROM (
+            SELECT media_ref, pj // 3 AS px,
+                   SUM(CASE WHEN chan = 0 THEN b ELSE 0 END) AS r,
+                   SUM(CASE WHEN chan = 1 THEN b ELSE 0 END) AS g,
+                   SUM(CASE WHEN chan = 2 THEN b ELSE 0 END) AS bl
+            FROM pixels GROUP BY media_ref, pj // 3
+        ) GROUP BY media_ref
+    ),
+    stats AS (
+        SELECT s.media_ref,
+               CAST(s.w AS INTEGER) AS width, CAST(s.h AS INTEGER) AS height,
+               CAST(s.w * s.h AS BIGINT) AS n_px,
+               ROUND(sr / n, 6) AS mean_r,
+               ROUND(sg / n, 6) AS mean_g,
+               ROUND(sb / n, 6) AS mean_b,
+               ROUND((0.299e0 * sr + 0.587e0 * sg + 0.114e0 * sb) / n, 6)
+                   AS gray_mean,
+               ROUND(SQRT(GREATEST(
+                   (0.299e0 * 0.299e0 * rr + 0.587e0 * 0.587e0 * gg
+                    + 0.114e0 * 0.114e0 * bb + 2e0 * 0.299e0 * 0.587e0 * c.rg
+                    + 2e0 * 0.299e0 * 0.114e0 * c.rb
+                    + 2e0 * 0.587e0 * 0.114e0 * c.gb) / n
+                   - ((0.299e0 * sr + 0.587e0 * sg + 0.114e0 * sb) / n)
+                     * ((0.299e0 * sr + 0.587e0 * sg + 0.114e0 * sb) / n),
+                   0e0)), 6) AS gray_std
+        FROM sums s JOIN cross_sums c USING (media_ref)
+    )
+    SELECT m.doc_id, m.media_ref, st.width, st.height, st.n_px,
+           st.mean_r, st.mean_g, st.mean_b, st.gray_mean, st.gray_std,
+           FALSE AS is_stub
+    FROM manifest m JOIN stats st USING (media_ref)
+    """
+
+
+def media_resize_sql(sf_dir: str, target: int = 256) -> str:
+    """DuckDB oracle for :func:`media_resize`: recompute the box-filter from
+    raw payload bytes. Pixel (y, x) belongs to output bucket
+    ``ceil((y+1)·out_h / h) − 1`` (the inverse of the integer bucket edges
+    ``ys[i] = (i·h) // out_h`` in :func:`box_resize`); per-bucket value is
+    the floor-divided channel sum, identical to the engine's integral-image
+    path, and ``out_mean`` is the exact integer average of those values."""
+    corpus = corpus_for_sf(sf_dir)
+    blobs = media_blob_path(sf_dir)
+    t = int(target)
+    return f"""
+    WITH manifest AS (
+        SELECT t.doc_id, u.s['media_ref'] AS media_ref
+        FROM read_parquet('{corpus}') t, UNNEST(t.spans) AS u(s)
+        WHERE u.s['kind'] = 'media'
+    ),
+    {_sql_pixels(blobs)},
+    dims AS (
+        SELECT media_ref, w, h,
+               GREATEST(CAST(FLOOR(w * LEAST({t}e0 / GREATEST(w, h), 1e0))
+                        AS BIGINT), 1) AS ow,
+               GREATEST(CAST(FLOOR(h * LEAST({t}e0 / GREATEST(w, h), 1e0))
+                        AS BIGINT), 1) AS oh
+        FROM blobs
+    ),
+    bucket_sums AS (
+        SELECT p.media_ref,
+               ((p.y + 1) * d.oh + d.h - 1) // d.h - 1 AS by,
+               ((p.x + 1) * d.ow + d.w - 1) // d.w - 1 AS bx,
+               p.chan, SUM(p.b) AS s
+        FROM pixels p JOIN dims d USING (media_ref)
+        GROUP BY ALL
+    ),
+    vals AS (
+        SELECT b.media_ref,
+               b.s // ((((b.by + 1) * d.h) // d.oh - (b.by * d.h) // d.oh)
+                       * (((b.bx + 1) * d.w) // d.ow - (b.bx * d.w) // d.ow))
+                   AS v
+        FROM bucket_sums b JOIN dims d USING (media_ref)
+    ),
+    means AS (
+        SELECT media_ref, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS out_mean
+        FROM vals GROUP BY media_ref
+    )
+    SELECT m.doc_id, m.media_ref,
+           CAST(d.w AS BIGINT) AS src_w, CAST(d.h AS BIGINT) AS src_h,
+           d.ow AS out_w, d.oh AS out_h, mn.out_mean, FALSE AS is_stub
+    FROM manifest m JOIN dims d USING (media_ref)
+                    JOIN means mn USING (media_ref)
+    """
+
+
+def media_frames_sql(sf_dir: str, n_frames: int = 4) -> str:
+    """DuckDB oracle for :func:`media_frames`: payload-derived duration and
+    midpoint timestamps, all integer math."""
+    corpus = corpus_for_sf(sf_dir)
+    blobs = media_blob_path(sf_dir)
+    k = int(n_frames)
+    return f"""
+    WITH manifest AS (
+        SELECT t.doc_id, u.s['media_ref'] AS media_ref
+        FROM read_parquet('{corpus}') t, UNNEST(t.spans) AS u(s)
+        WHERE u.s['kind'] = 'media'
+    ),
+    blobs AS (
+        SELECT media_ref,
+               1000 + (CAST(OCTET_LENGTH(payload) AS BIGINT)
+                       - {PPM_HEADER_LEN}) // 3 AS duration_ms
+        FROM read_parquet('{blobs}')
+    )
+    SELECT m.doc_id, m.media_ref,
+           m.media_ref || '#frame-' || CAST(f AS VARCHAR) AS frame_ref,
+           CAST(f AS BIGINT) AS frame_idx,
+           (b.duration_ms * (2 * f + 1)) // (2 * {k}) AS ts_ms
+    FROM manifest m
+         JOIN blobs b USING (media_ref),
+         UNNEST(generate_series(0, {k - 1})) AS g(f)
+    """
 
 
 def box_resize(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
@@ -247,7 +464,7 @@ class MediaResize:
                 "src_h": pa.array(src_h),
                 "out_w": pa.array(out_w),
                 "out_h": pa.array(out_h),
-                "out_mean": pa.array(np.round(out_mean, 6)),
+                "out_mean": pa.array(round_np(out_mean, 6)),
                 "is_stub": pa.array(np.zeros(n, dtype=bool)),
             }
         )

@@ -243,33 +243,37 @@ def test_media_decode_real(ray_session):
 
     from crawler_ray.pipelines.multimodal import MediaDecode, media_blob_path, media_features
 
+    stat_cols = ["mean_r", "mean_g", "mean_b", "gray_mean", "gray_std"]
     out = to_df(media_features(SF))
     assert len(out) > 0
     assert (~out["is_stub"]).all()
-    assert all(len(f) == 8 for f in out["features"])
-    # determinism: same ref → same features
-    dup = out.groupby("media_ref")["features"].apply(
-        lambda s: len({tuple(np.asarray(f)) for f in s})
-    )
-    assert (dup == 1).all()
+    assert {"width", "height", "n_px", *stat_cols} <= set(out.columns)
+    # determinism: same ref → same stats
+    dup = out.groupby("media_ref")[stat_cols].nunique()
+    assert (dup == 1).all().all()
 
     blobs = pq.read_table(media_blob_path(SF)).to_pylist()
     by_ref = {r["media_ref"]: r["payload"] for r in blobs}
     for _, row in out.drop_duplicates("media_ref").head(5).iterrows():
         w, h, px = _independent_ppm_decode(bytes(by_ref[row["media_ref"]]))
-        f = np.asarray(row["features"])
-        assert (f[0], f[1], f[2]) == (w, h, w * h)
+        assert (row["width"], row["height"], row["n_px"]) == (w, h, w * h)
         mean_r = sum(px[0::3]) / (w * h)
         mean_g = sum(px[1::3]) / (w * h)
         mean_b = sum(px[2::3]) / (w * h)
-        assert np.allclose(f[3:6], [mean_r, mean_g, mean_b], atol=1e-5)
+        assert np.allclose(
+            [row["mean_r"], row["mean_g"], row["mean_b"]],
+            [mean_r, mean_g, mean_b],
+            atol=1e-5,
+        )
         gray = [
             0.299 * px[i] + 0.587 * px[i + 1] + 0.114 * px[i + 2]
             for i in range(0, len(px), 3)
         ]
         gm = sum(gray) / len(gray)
         gs = (sum((g - gm) ** 2 for g in gray) / len(gray)) ** 0.5
-        assert np.allclose(f[6:8], [gm, gs], atol=1e-4)
+        assert np.allclose(
+            [row["gray_mean"], row["gray_std"]], [gm, gs], atol=1e-4
+        )
 
     # payload-less batches (external corpus without blobs) fall back to the
     # deterministic hash-feature stub
