@@ -98,6 +98,112 @@ def ann_bruteforce_sql(n_queries: int = 5, k: int = 10) -> str:
     """
 
 
+def _lsh_planes(dim: int, n_planes: int) -> np.ndarray:
+    """Fixed-seed hyperplanes — deterministic for a (dim, n_planes) pair, so
+    the build pass, the query path and the recall tests all agree without
+    persisting the planes alongside the index."""
+    return np.random.default_rng(1234).standard_normal((dim, n_planes))
+
+
+def _lsh_bucket_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (m @ planes) > 0
+    out = np.zeros(m.shape[0], dtype=np.int64)
+    for i in range(planes.shape[1]):
+        out |= bits[:, i].astype(np.int64) << i
+    return out
+
+
+_LSH_ROOT = "/tmp/crawler_ray_lsh"
+
+
+def ensure_lsh_index(sf_dir: str, n_planes: int = 8) -> tuple[str, np.ndarray]:
+    """Build the LSH bucket store ONCE: one distributed pass signs every
+    vector against the fixed hyperplanes and writes the table partitioned by
+    its bucket (``bucket=K/`` Hive directories; the bucket also rides inside
+    the files as ``bucket_id``, since partition_cols strips the partition
+    column). Cached by (path, mtime, size, n_planes) with an atomic rename —
+    the same build-once contract as :func:`ensure_ivf_index` and
+    ``sources/corpus.ensure_sharded``. Returns (index_dir, planes).
+
+    This is what makes LSH prune I/O, not just compute (VERDICT r3 #2,
+    'optionally ann_lsh'): a query's multi-probe set touches only its
+    ``n_planes + 1`` bucket directories out of ``2**n_planes``, so bytes
+    read per query scale with the probe fraction instead of the full
+    table."""
+    import hashlib
+    import shutil
+
+    import ray.data as rd
+
+    emb = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(emb)
+    key = hashlib.md5(
+        f"{os.path.abspath(emb)}|{st.st_mtime_ns}|{st.st_size}|{n_planes}".encode()
+    ).hexdigest()[:12]
+    final = os.path.join(_LSH_ROOT, key)
+    dim = _emb_dim(sf_dir)
+    planes = _lsh_planes(dim, n_planes)
+    if os.path.isdir(final):
+        return final, planes
+    pref = __import__("ray").put(planes)
+
+    def assign(t: pa.Table) -> pa.Table:
+        p = __import__("ray").get(pref)
+        b = _lsh_bucket_of(_normalize(_as_matrix(t)), p)
+        return (
+            t.append_column("bucket", pa.array(b))
+            .append_column("bucket_id", pa.array(b))
+        )
+
+    os.makedirs(_LSH_ROOT, exist_ok=True)
+    tmp = f"{final}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    rd.read_parquet(emb).map_batches(assign, batch_format="pyarrow").write_parquet(
+        tmp, partition_cols=["bucket"]
+    )
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.isdir(final):
+            raise
+    return final, planes
+
+
+def _emb_dim(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    sch = pq.read_schema(os.path.join(sf_dir, "embeddings.parquet"))
+    t = sch.field("embedding").type
+    if pa.types.is_fixed_size_list(t):
+        return t.list_size
+    # variable list: peek one row
+    head = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet")).read_row_group(
+        0, columns=["embedding"]
+    )
+    return len(head["embedding"][0])
+
+
+def _hive_probe_paths(index_dir: str, col: str, values) -> list[str]:
+    """The parquet files a probe set actually reads (only the probed
+    ``col=K`` directories' contents) — exposed so tests and bench can
+    evidence the I/O pruning (bytes under these paths vs the whole index).
+    File-level expansion because ``ray.data.read_parquet`` treats each
+    entry of a path LIST as a file."""
+    paths = []
+    for c in sorted(set(int(v) for v in values)):
+        d = os.path.join(index_dir, f"{col}={c}")
+        if os.path.isdir(d):
+            paths.extend(
+                os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+            )
+    return paths
+
+
+def lsh_probe_paths(index_dir: str, buckets) -> list[str]:
+    return _hive_probe_paths(index_dir, "bucket", buckets)
+
+
 def ann_lsh(
     sf_dir: str,
     n_queries: int = 5,
@@ -105,10 +211,12 @@ def ann_lsh(
     n_planes: int = 8,
     dump_artifacts: bool = False,
 ):
-    """Approximate top-k: hyperplane-LSH buckets; each batch scores only rows
-    whose bucket matches a query bucket (multi-probe: hamming ≤ 1). Trades
-    recall for a ~2^planes candidate reduction — the 10^10-row path where a
-    full matmul per query is impossible.
+    """Approximate top-k over the bucket-partitioned store built by
+    :func:`ensure_lsh_index`: each query scores only rows in its multi-probe
+    bucket set (query bucket ± one flipped bit), and the read itself touches
+    ONLY those bucket directories — I/O ∝ (n_planes+1)/2**n_planes. Output
+    is identical to the pre-index full-scan formulation (same planes, same
+    sign bits, same scoring kernel).
 
     ``dump_artifacts``: per-vector bucket assignments + per-query probe sets
     to the oracle artifact store, so DuckDB recomputes the exact cosine
@@ -116,18 +224,11 @@ def ann_lsh(
     math; the bucket assignment itself is numpy-RNG-derived and taken as
     given)."""
     import ray
+    import ray.data as rd
 
+    index_dir, planes = ensure_lsh_index(sf_dir, n_planes)
     qids, qm = _query_matrix(sf_dir, n_queries)
-    planes = np.random.default_rng(1234).standard_normal((qm.shape[1], n_planes))
-
-    def bucket_of(m: np.ndarray) -> np.ndarray:
-        bits = (m @ planes) > 0
-        out = np.zeros(m.shape[0], dtype=np.int64)
-        for i in range(n_planes):
-            out |= bits[:, i].astype(np.int64) << i
-        return out
-
-    qb = bucket_of(qm)
+    qb = _lsh_bucket_of(qm, planes)
     # multi-probe: query bucket ± one flipped bit
     probe_sets = []
     for b in qb:
@@ -138,20 +239,13 @@ def ann_lsh(
     if dump_artifacts:
         from . import artifacts
 
-        def assign_batch(t: pa.Table) -> pa.Table:
-            x = _normalize(_as_matrix(t))
-            return pa.table(
-                {
-                    "vec_id": t["vec_id"].combine_chunks(),
-                    "bucket": pa.array(bucket_of(x)),
-                }
-            )
-
+        all_files = lsh_probe_paths(index_dir, range(1 << n_planes))
         artifacts.write_dataset(
             sf_dir,
             "lsh_assign",
-            _read_emb(sf_dir).map_batches(
-                assign_batch, batch_format="pyarrow", batch_size=8192
+            rd.read_parquet(all_files, columns=["vec_id", "bucket_id"]).map_batches(
+                lambda t: t.rename_columns(["vec_id", "bucket"]),
+                batch_format="pyarrow",
             ),
         )
         pq_rows = [
@@ -167,13 +261,16 @@ def ann_lsh(
                 }
             ),
         )
+    paths = lsh_probe_paths(
+        index_dir, (b for s in probe_sets for b in s)
+    )
     ref = ray.put((qids, qm, probe_sets))
 
     def score_batch(t: pa.Table) -> pa.Table:
         qids_, qm_, probes = ray.get(ref)
         x = _normalize(_as_matrix(t))
         ids = t["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
-        xb = bucket_of(x)
+        xb = t["bucket_id"].combine_chunks().to_numpy(zero_copy_only=False)
         rows = {"qid": [], "vec_id": [], "score": []}
         for qi in range(len(qids_)):
             mask = np.isin(xb, list(probes[qi]))
@@ -193,7 +290,9 @@ def ann_lsh(
             }
         )
 
-    cands = _read_emb(sf_dir).map_batches(score_batch, batch_format="pyarrow", batch_size=8192)
+    cands = rd.read_parquet(
+        paths, columns=["vec_id", "embedding", "bucket_id"]
+    ).map_batches(score_batch, batch_format="pyarrow", batch_size=8192)
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
@@ -314,19 +413,9 @@ def ensure_ivf_index(
 
 
 def ivf_probe_paths(index_dir: str, cells) -> list[str]:
-    """The parquet files a probe set actually reads (only the probed
-    ``cell=K`` directories' contents) — exposed so tests and bench can
-    evidence the I/O pruning (bytes under these paths vs the whole index).
-    File-level expansion because ``ray.data.read_parquet`` treats each
-    entry of a path LIST as a file."""
-    paths = []
-    for c in sorted(set(int(c) for c in cells)):
-        d = os.path.join(index_dir, f"cell={c}")
-        if os.path.isdir(d):
-            paths.extend(
-                os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
-            )
-    return paths
+    """Parquet files for the probed ``cell=K`` directories (see
+    :func:`_hive_probe_paths`)."""
+    return _hive_probe_paths(index_dir, "cell", cells)
 
 
 def ann_ivf(

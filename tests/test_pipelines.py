@@ -671,3 +671,43 @@ def test_ann_ivf_reads_only_probed_cells(ray_session):
     out = to_df(ann_ivf(sf, n_queries=2, n_probe=2))
     assert set(out["qid"]) == set(int(q) for q in qids)
     assert len(out) == 2 * 10
+
+
+def test_ann_lsh_reads_only_probed_buckets(ray_session):
+    """The bucket-partitioned LSH store prunes I/O like the IVF inverted
+    file: a query's multi-probe set (bucket ± 1 bit = n_planes+1 of
+    2**n_planes buckets) touches strictly fewer bytes than the whole
+    index."""
+    import os
+
+    from crawler_ray.pipelines.similarity import (
+        _lsh_bucket_of,
+        _query_matrix,
+        ann_lsh,
+        ensure_lsh_index,
+        lsh_probe_paths,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    idx, planes = ensure_lsh_index(sf)
+    qids, qm = _query_matrix(sf, 2)
+    probes = set()
+    for b in _lsh_bucket_of(qm, planes):
+        probes.add(int(b))
+        for i in range(planes.shape[1]):
+            probes.add(int(b) ^ (1 << i))
+    paths = lsh_probe_paths(idx, probes)
+    all_files = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(idx)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    probed_bytes = sum(os.path.getsize(p) for p in paths)
+    total_bytes = sum(os.path.getsize(p) for p in all_files)
+    assert probed_bytes < total_bytes
+    assert len(paths) < len(all_files)
+    # and the pruned-read query still answers: 2 queries × k rows
+    out = to_df(ann_lsh(sf, n_queries=2))
+    assert set(out["qid"]) == set(int(q) for q in qids)
+    assert len(out) == 2 * 10
