@@ -61,15 +61,17 @@ class CorpusShard:
             ids = table.column("doc_id").combine_chunks()
             mine = stable_hash64(ids.to_numpy(zero_copy_only=False)) % n_shards == shard_id
             self.table = table.filter(pa.array(mine)).combine_chunks()
+        import pandas as pd
+
         keys = self.table.column("doc_id").to_pylist()
-        self.index = {k: i for i, k in enumerate(keys)}
+        # pd.Index gives a vectorized batch lookup (get_indexer) — the one
+        # dict-per-URL loop left on the fetch hot path (VERDICT r3 minor #4)
+        self.index = pd.Index(keys)
         self.spans = self.table.column("spans").combine_chunks()
 
     def fetch(self, urls: list[str]) -> pa.Table:
         """URLs → (status, spans) in input order; 404 + empty spans on miss."""
-        idx = np.fromiter(
-            (self.index.get(u, -1) for u in urls), dtype=np.int64, count=len(urls)
-        )
+        idx = self.index.get_indexer(urls)
         hits = idx >= 0
         sub = self.spans.take(pa.array(idx[hits]))
         if isinstance(sub, pa.ChunkedArray):
@@ -93,9 +95,9 @@ class CorpusShard:
         in-scope host set for robots.txt learning, S5/T2)."""
         from .. import urlnorm
 
-        if not self.index:
+        if len(self.index) == 0:
             return []
-        arr = pa.array(list(self.index.keys()), pa.string())
+        arr = pa.array(self.index.to_list(), pa.string())
         return pc.unique(urlnorm.host_of(arr)).to_pylist()
 
 
