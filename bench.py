@@ -349,6 +349,45 @@ def query_suite() -> dict:
     return out
 
 
+def extra_query_suite() -> dict:
+    """Timings for the wider training-data family (near-dup variants,
+    curation, partitioned-store ANN, text scoring, media decode). Runs
+    AFTER the headline total is closed so `value` stays comparable to the
+    BASELINE ranges folded from the original 14-query suite."""
+    from crawler_ray.pipelines import curate as Cu
+    from crawler_ray.pipelines import dedup as D
+    from crawler_ray.pipelines import multimodal as M
+    from crawler_ray.pipelines import similarity as S
+    from crawler_ray.pipelines import text as T
+
+    import __ray_entry__ as entry
+
+    decontaminate = entry.queries()["decontaminate"]
+
+    def consume(x):
+        if hasattr(x, "to_pandas"):
+            return len(x.to_pandas())
+        return len(x)
+
+    out = {}
+    for name, fn in [
+        ("quality", T.quality),
+        ("lang_id", T.lang_id),
+        ("repetition_stats", T.repetition_stats),
+        ("simhash_pairs", D.simhash_pairs),
+        ("dup_clusters", Cu.dup_clusters),
+        ("curate", Cu.curate),
+        ("ann_lsh", S.ann_lsh),
+        ("ann_ivf", S.ann_ivf),
+        ("media_features", M.media_features),
+        ("decontaminate", decontaminate),
+    ]:
+        t0 = time.time()
+        consume(fn(SF_DIR))
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
 def main_full():
     ray = _init_ray()
     _warm_workers()
@@ -363,6 +402,10 @@ def main_full():
     dedup = dedup_microbench()
     queries = query_suite()
     total = round(time.time() - t_all, 3)
+    # non-headline extras: timed outside `value` (BASELINE range comparability)
+    t_ex = time.time()
+    extras = extra_query_suite()
+    extra_sec = round(time.time() - t_ex, 3)
     print(
         json.dumps(
             {
@@ -370,6 +413,8 @@ def main_full():
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
+                "extra_queries": extras,
+                "extra_sec": extra_sec,
                 "sf": SF_DIR,
                 "num_cpus": NUM_CPUS,
                 "crawl_pages_per_sec": crawl["pages_per_sec"],
