@@ -431,7 +431,10 @@ def main_full():
 def main_job_only():
     ray = _init_ray()
     _warm_workers()
-    runs = [scaling_job(), scaling_job()]  # first run warms worker processes
+    # first run warms worker processes; min-of-3 bounds the host-noise
+    # asymmetry between the two scaling legs (this box's background load
+    # swings ±20-40% — BASELINE.md quantifies it with same-day controls)
+    runs = [scaling_job(), scaling_job(), scaling_job()]
     wave = min(runs, key=lambda r: r["sec"])
     print(
         json.dumps(
@@ -469,8 +472,19 @@ def main_scaling():
 
     corpus_path(_scaling_spec())
 
+    def cpu_stat() -> tuple[int, int]:
+        # (steal, total) jiffies across all cpus — this sandbox is a shared
+        # VM; per-leg steal% makes each efficiency number carry its own
+        # noise evidence (a slow leg under high steal is host contention,
+        # not code)
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        s0, t0 = cpu_stat()
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--job-only"],
             env=env,
@@ -479,7 +493,10 @@ def main_scaling():
             check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        s1, t1 = cpu_stat()
+        res = json.loads(out.strip().splitlines()[-1])
+        res["host_steal_pct"] = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2)
+        return res
 
     lo, hi = run(8), run(32)
     eff = (lo["value"] / hi["value"]) / (32 / 8)
@@ -493,6 +510,10 @@ def main_scaling():
                 "pages_per_sec_8": lo["pages_per_sec"],
                 "pages_per_sec_32": hi["pages_per_sec"],
                 "scaling_efficiency": round(eff, 3),
+                "host_steal_pct_8": lo["host_steal_pct"],
+                "host_steal_pct_32": hi["host_steal_pct"],
+                "runs_sec_8": lo.get("runs_sec"),
+                "runs_sec_32": hi.get("runs_sec"),
             }
         )
     )

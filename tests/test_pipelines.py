@@ -46,7 +46,17 @@ def test_query_matches_duckdb(name, ray_session):
 
 
 @pytest.mark.parametrize(
-    "name", ["corpus_links", "span_profile", "media_manifest", "media_meta", "crawl_bfs"]
+    "name",
+    [
+        "corpus_links",
+        "span_profile",
+        "media_manifest",
+        "media_meta",
+        "media_features",
+        "media_resize",
+        "media_frames",
+        "crawl_bfs",
+    ],
 )
 def test_corpus_query_matches_duckdb(name, ray_session):
     """Corpus-backed queries: oracle SQL embeds the sf0.01 corpus path, so
