@@ -607,6 +607,9 @@ class CrawlEngine:
         import ray.data as rd
 
         cfg = self.cfg
+        # exposed so streaming consumers (rpc scan jobs) can report a
+        # truncated crawl the same way run() does via CrawlResult.stopped
+        self.stopped_early = False
         if self._resumed_frontier is not None:
             frontier = self._resumed_frontier
             self._resumed_frontier = None
@@ -615,6 +618,7 @@ class CrawlEngine:
         try:
             while _nrows(frontier) > 0 and self.round < max_rounds:
                 if cfg.stop_flag_path and os.path.exists(cfg.stop_flag_path):
+                    self.stopped_early = True
                     break
                 if _nrows(frontier) <= cfg.small_round_threshold:
                     fetched, frontier, stopped = self._round_small(
@@ -627,6 +631,7 @@ class CrawlEngine:
                         frontier, out_dir
                     )
                 if stopped:
+                    self.stopped_early = True
                     break
                 self.round += 1
                 if cfg.checkpoint_dir and (

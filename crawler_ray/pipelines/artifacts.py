@@ -82,7 +82,13 @@ def write_dataset(sf_dir: str, name: str, ds, columns=None) -> str:
     if tables:
         table = pa.concat_tables(tables)
     else:
-        table = ds.schema().empty_table()
+        # ray.data's Schema wrapper has no empty_table(); rebuild an empty
+        # Arrow table from its names/types so a zero-candidate pipeline
+        # still writes a (schema-complete) empty artifact
+        s = ds.schema()
+        table = pa.table(
+            {n: pa.array([], type=t) for n, t in zip(s.names, s.types)}
+        )
     return write(sf_dir, name, table)
 
 
@@ -94,23 +100,26 @@ def ensure(sf_dir: str) -> None:
     from . import similarity as S
     from . import text as T
 
+    # the dumps happen EAGERLY inside each call (write_dataset iterates the
+    # intermediate datasets at call time), so the returned pipeline is left
+    # unexecuted — materializing it here would pay the expensive
+    # verification stage (pairs×signatures joins, cosine verify) just to
+    # produce artifacts that already exist by the time the call returns
     if not have(sf_dir, "minhash_sigs", "minhash_cands"):
-        D.minhash_pairs(sf_dir, dump_artifacts=True).materialize()
+        D.minhash_pairs(sf_dir, dump_artifacts=True)
     if not have(sf_dir, "simhash_sigs", "simhash_cands"):
-        D.simhash_pairs(sf_dir, dump_artifacts=True).materialize()
+        D.simhash_pairs(sf_dir, dump_artifacts=True)
     if not have(sf_dir, "emb_cands"):
         # fixture-tuned params — must match the registered query exactly
-        D.embedding_dup_pairs(
-            sf_dir, threshold=0.4, n_planes=6, dump_artifacts=True
-        ).materialize()
+        D.embedding_dup_pairs(sf_dir, threshold=0.4, n_planes=6, dump_artifacts=True)
     if not have(sf_dir, "winnow_fps"):
-        T.winnow_fingerprints(sf_dir, dump_artifacts=True).materialize()
+        T.winnow_fingerprints(sf_dir, dump_artifacts=True)
     if not have(sf_dir, "decon_eval_fps"):
         _ensure_decon_eval(sf_dir)
     if not have(sf_dir, "lsh_assign", "lsh_probes"):
-        S.ann_lsh(sf_dir, dump_artifacts=True).materialize()
+        S.ann_lsh(sf_dir, dump_artifacts=True)
     if not have(sf_dir, "ivf_probes"):
-        S.ann_ivf(sf_dir, dump_artifacts=True).materialize()
+        S.ann_ivf(sf_dir, dump_artifacts=True)
 
 
 def _ensure_decon_eval(sf_dir: str) -> None:

@@ -200,14 +200,14 @@ def dup_clusters(sf_dir: str, threshold: float = 0.5, distributed: bool | None =
     pairs = minhash_pairs(sf_dir, threshold=threshold).materialize()
     key_is_int = pa.types.is_integer(pairs.schema().types[0])
     if distributed is None:
-        # the distributed engine needs integer ids (its convergence test is
-        # an integer label sum); string-keyed corpora stay in-memory
+        # the distributed engine needs integer ids (Ray Dataset join keys);
+        # string-keyed corpora stay in-memory
         distributed = key_is_int and pairs.count() > 2_000_000
     if distributed:
         if not key_is_int:
             raise ValueError(
                 "dup_clusters distributed path requires integer doc ids "
-                "(label-sum convergence test); use the in-memory engine"
+                "(Ray Dataset join keys); use the in-memory engine"
             )
         return _clusters_distributed(pairs)
     cols_a, cols_b = [], []
@@ -318,6 +318,9 @@ def curate(
 
 
 _SHARD_MIX = np.uint64(0x9E3779B97F4A7C15)
+# bump when shard_of's placement changes; stamped into _SUCCESS markers so a
+# resumed export never mixes two hash generations in one directory
+_SHARD_HASH_VERSION = "shard-hash-v2"
 
 
 def shard_of(ids: np.ndarray, n_shards: int) -> np.ndarray:
@@ -366,11 +369,19 @@ def export_curated(sf_dir: str, out_dir: str | None = None, n_shards: int = 8, *
             if f.endswith(".parquet")
         )
 
-    todo = [
-        k
-        for k in range(n_shards)
-        if not os.path.exists(os.path.join(out_dir, f"shard={k}", "_SUCCESS"))
-    ]
+    def committed(k: int) -> bool:
+        # a shard counts as finished only when its marker matches the
+        # CURRENT shard-hash version: docs placed by an older shard_of would
+        # otherwise be silently dropped/duplicated on a resumed export after
+        # a hash change — stale-version shards are rewritten instead
+        marker = os.path.join(out_dir, f"shard={k}", "_SUCCESS")
+        try:
+            with open(marker) as f:
+                return f.read().strip() == _SHARD_HASH_VERSION
+        except OSError:
+            return False
+
+    todo = [k for k in range(n_shards) if not committed(k)]
     if todo:
         todo_arr = np.array(todo, dtype=np.int64)
 
@@ -398,7 +409,8 @@ def export_curated(sf_dir: str, out_dir: str | None = None, n_shards: int = 8, *
                 os.rename(src, sdir)
             else:
                 os.makedirs(sdir, exist_ok=True)  # empty shard
-            open(marker, "w").close()  # commit point: data first, marker last
+            with open(marker, "w") as f:  # commit: data first, marker last
+                f.write(_SHARD_HASH_VERSION)
         shutil.rmtree(tmp, ignore_errors=True)
 
     rows = []

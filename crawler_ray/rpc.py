@@ -225,7 +225,12 @@ class CrawlerService:
                             it.close()  # client-requested shutdown
                             stopped = True
                             break
-                    res = eng._result(mode, out_dir, stopped)
+                    # engine-side truncation (page budget, stop flag) counts
+                    # too — run() reports it via CrawlResult.stopped, so the
+                    # scan path must agree for the same config
+                    res = eng._result(
+                        mode, out_dir, stopped or getattr(eng, "stopped_early", False)
+                    )
                 else:
                     # all links once, when completed (Crawl semantics,
                     # server.rs:53: "send all links crawled when completed").
@@ -264,7 +269,13 @@ class CrawlerService:
         cfg = config_from_request(req)
         include = bool(req.get("include_content", False))
         jid = self._new_job("scan_stream", req)
-        eng = CrawlEngine(self.corpus, cfg, self.robots)
+        try:
+            # inside the try: a failed engine construction must still move
+            # the registered job to 'error' instead of leaving it 'running'
+            eng = CrawlEngine(self.corpus, cfg, self.robots)
+        except Exception as e:
+            self._finish(jid, status="error", error=f"{type(e).__name__}: {e}")
+            raise
         try:
             n = 0
             for _rnd, fetched in eng.iter_rounds():
@@ -334,10 +345,22 @@ def _make_handler(svc: CrawlerService):
                 if not req.get("url"):
                     self._json({"error": "url required"}, 400)
                     return
-                self._json(svc.submit(self.path[1:], req))
+                try:
+                    self._json(svc.submit(self.path[1:], req))
+                except (TypeError, ValueError) as e:
+                    # malformed ScanRequest field (e.g. delay: "fast") must
+                    # be a 400 response, not an aborted connection
+                    self._json({"error": f"bad request: {e}"}, 400)
             elif self.path == "/scan_stream":
                 if not req.get("url"):
                     self._json({"error": "url required"}, 400)
+                    return
+                try:
+                    # validate BEFORE the 200 header goes out — the stream
+                    # body cannot carry an HTTP error after that
+                    config_from_request(req)
+                except (TypeError, ValueError) as e:
+                    self._json({"error": f"bad request: {e}"}, 400)
                     return
                 # close-delimited ndjson stream, flushed per wave
                 self.send_response(200)

@@ -65,8 +65,16 @@ class CorpusShard:
 
         keys = self.table.column("doc_id").to_pylist()
         # pd.Index gives a vectorized batch lookup (get_indexer) — the one
-        # dict-per-URL loop left on the fetch hot path (VERDICT r3 minor #4)
-        self.index = pd.Index(keys)
+        # dict-per-URL loop left on the fetch hot path (VERDICT r3 minor #4).
+        # get_indexer requires a unique index; an externally-supplied corpus
+        # may repeat doc_ids, so mirror the old dict semantics (last wins)
+        # by keeping only the final occurrence of each key.
+        idx = pd.Index(keys)
+        if not idx.is_unique:
+            keep = ~pd.Series(keys).duplicated(keep="last").to_numpy()
+            self.table = self.table.filter(pa.array(keep)).combine_chunks()
+            idx = pd.Index(self.table.column("doc_id").to_pylist())
+        self.index = idx
         self.spans = self.table.column("spans").combine_chunks()
 
     def fetch(self, urls: list[str]) -> pa.Table:

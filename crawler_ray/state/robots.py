@@ -43,7 +43,10 @@ def robots_rule_regex(pattern: str) -> str:
     anchor_end = pattern.endswith("$")
     body = pattern[:-1] if anchor_end else pattern
     rx = ".*".join(re.escape(seg) for seg in body.split("*"))
-    return rx + ("$" if anchor_end else "")
+    # \Z, not $: the re '$' also matches before a trailing newline, which
+    # would diverge from RFC end-of-path semantics (and from the oracle's
+    # endswith matcher) on a path retaining a raw '\n'
+    return rx + (r"\Z" if anchor_end else "")
 
 
 class RobotsRules(NamedTuple):

@@ -94,3 +94,32 @@ def test_lance_uri_without_lance_raises(tmp_path):
         src.read_corpus_table("/nope/corpus.lance")
     with pytest.raises(ImportError):
         src.write_table(_small_corpus(), str(tmp_path / "c.lance"))
+
+
+def test_corpus_shard_duplicate_doc_ids(tmp_path):
+    """An externally-supplied corpus may repeat doc_ids; the vectorized
+    pd.Index lookup must keep the old dict semantics (last occurrence wins)
+    instead of raising InvalidIndexError (review r4 #4)."""
+    import pyarrow as pa
+
+    from crawler_ray.stages.fetch import CorpusShard
+
+    span = lambda txt: [
+        {"kind": "text", "text": txt, "media_ref": "", "offset": 0}
+    ]
+    tab = pa.table(
+        {
+            "doc_id": pa.array(["https://h/a", "https://h/b", "https://h/a"]),
+            "spans": pa.array(
+                [span("first"), span("other"), span("last")], schemas.SPANS
+            ),
+        }
+    )
+    p = str(tmp_path / "dup.parquet")
+    pq.write_table(tab, p)
+    shard = CorpusShard(p, 0, 1)
+    out = shard.fetch(["https://h/a", "https://h/b", "https://h/missing"])
+    assert out.column("status").to_pylist() == [200, 200, 404]
+    got = out.column("spans").to_pylist()
+    assert got[0][0]["text"] == "last"  # duplicate resolved to the final row
+    assert got[1][0]["text"] == "other"

@@ -435,6 +435,16 @@ def test_export_curated_resumable(ray_session, tmp_path):
     assert not m3.loc[3, "skipped"]
     assert int(m3["n_docs"].sum()) == total
 
+    # a marker from a different shard-hash generation is NOT a commit: the
+    # shard must be rewritten, never resumed across hash versions (review
+    # r4 #7 — old-hash placement + new-hash todo filter would drop docs)
+    with open(os.path.join(out, "shard=1", "_SUCCESS"), "w") as f:
+        f.write("shard-hash-v1")
+    m4 = export_curated(sf, out_dir=out, n_shards=4).to_pandas().set_index("shard")
+    assert not m4.loc[1, "skipped"]
+    assert m4.loc[[0, 2, 3], "skipped"].all()
+    assert int(m4["n_docs"].sum()) == total
+
     # exported rows are exactly the curated keep-list, disjointly sharded
     got = []
     for k in range(4):
@@ -721,3 +731,30 @@ def test_ann_lsh_reads_only_probed_buckets(ray_session):
     out = to_df(ann_lsh(sf, n_queries=2))
     assert set(out["qid"]) == set(int(q) for q in qids)
     assert len(out) == 2 * 10
+
+
+def test_artifact_write_dataset_empty(ray_session, tmp_path, monkeypatch):
+    """A zero-candidate sketch run must still write a schema-complete empty
+    artifact — ray.data's Schema wrapper has no empty_table() (review r4 #1)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from crawler_ray.pipelines import artifacts
+
+    monkeypatch.setattr(artifacts, "_ROOT", str(tmp_path / "artifacts"))
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    pq.write_table(
+        pa.table({"doc_id": pa.array([], pa.int64())}),
+        os.path.join(sf, "documents.parquet"),
+    )
+    empty = rd.from_arrow(
+        pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.string())})
+    )
+    path = artifacts.write_dataset(sf, "empty_test", empty)
+    back = pq.read_table(path)
+    assert back.num_rows == 0
+    assert back.schema.names == ["a", "b"]

@@ -192,6 +192,38 @@ def test_job_status_and_errors(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(server["base"] + "/jobs/999", timeout=10)
     assert ei.value.code == 404
+    # malformed field types are a 400 response, not an aborted socket
+    # (review r4 #3) — on both the submit and the stream endpoints
+    bad = {"url": "https://site-0001.test/", "delay": "fast"}
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        submit(server["base"], "scan", bad)
+    assert ei.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(
+            urllib.request.Request(
+                server["base"] + "/scan_stream",
+                data=json.dumps(bad).encode(),
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            ),
+            timeout=10,
+        )
+    assert ei.value.code == 400
+
+
+def test_scan_budget_reports_stopped(server):
+    """A scan job truncated by the engine's own page budget must report
+    stopped=true, matching what run() reports for the same config
+    (review r4 #5)."""
+    from crawler_ray.rpc import submit
+
+    reply = submit(
+        server["base"], "scan", {"url": "https://site-0000.test/", "max_pages": 3}
+    )
+    job = _wait_job(server["svc"], reply["job_id"])
+    assert job["status"] == "done"
+    assert job["pages_fetched"] <= 3
+    assert job["stopped"] is True
 
 
 def test_parallel_job_isolation(server):

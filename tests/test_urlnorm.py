@@ -214,6 +214,10 @@ def test_robots_wildcard_truth_table():
         ("/$", "/x", False),
         ("/mid$dle", "/mid$dle-rest", True),  # mid-pattern $ is literal
         ("/mid$dle", "/middle", False),
+        # regex-'$' trap: '$' matches before a trailing newline, RFC
+        # end-of-path does not — the engine must use \Z (review r4 #6)
+        ("/foo$", "/foo\n", False),
+        ("/foo$", "/foo", True),
     ]
     for rule, path, want in cases:
         assert _rule_match(path, rule) is want, (rule, path)
