@@ -109,6 +109,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # no-op resize at this payload size)
         "media_resize": lambda sf: M.media_resize(sf, target=16),
         "media_frames": M.media_frames,
+        # multimodal × similarity composition: cosine top-k over pixel-derived
+        # media stat vectors (decode actor pool -> broadcast queries -> partial
+        # top-k), oracled end-to-end from the raw payload bytes
+        "media_ann": M.media_ann,
     }
 
 
@@ -166,6 +170,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _media_sql("media_features_sql"),
         "media_resize": _media_sql("media_resize_sql", target=16),
         "media_frames": _media_sql("media_frames_sql"),
+        "media_ann": _media_sql("media_ann_sql"),
         # artifact oracles: candidates/signatures/probes taken from the
         # dumped intermediates, verification + aggregation recomputed in SQL
         "minhash_pairs": D.minhash_pairs_sql(_SF_ORACLE),

@@ -380,6 +380,7 @@ def extra_query_suite() -> dict:
         ("ann_lsh", S.ann_lsh),
         ("ann_ivf", S.ann_ivf),
         ("media_features", M.media_features),
+        ("media_ann", M.media_ann),
         ("decontaminate", decontaminate),
     ]:
         t0 = time.time()

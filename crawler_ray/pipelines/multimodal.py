@@ -272,20 +272,12 @@ def _sql_pixels(blobs: str) -> str:
     )"""
 
 
-def media_features_sql(sf_dir: str) -> str:
-    """DuckDB oracle for :func:`media_features`: recompute every stat from
-    the raw payload bytes. The float expressions mirror ``MediaDecode``
-    token-for-token (``0.299e0`` literals force DOUBLE arithmetic; DuckDB
-    decimal literals would otherwise change the math), so values match the
-    engine's round_np(·, 6) (half-away, the repo-wide DuckDB parity mode) exactly."""
-    corpus = corpus_for_sf(sf_dir)
-    blobs = media_blob_path(sf_dir)
+def _media_stats_cte(blobs: str) -> str:
+    """CTE chain ending in ``stats`` — per-media_ref rounded decode stats
+    recomputed from raw payload bytes. Shared by the media_features and
+    media_ann oracles; the float expressions mirror ``MediaDecode``
+    token-for-token (``0.299e0`` literals force DOUBLE arithmetic)."""
     return f"""
-    WITH manifest AS (
-        SELECT t.doc_id, u.s['media_ref'] AS media_ref
-        FROM read_parquet('{corpus}') t, UNNEST(t.spans) AS u(s)
-        WHERE u.s['kind'] = 'media'
-    ),
     {_sql_pixels(blobs)},
     sums AS (
         SELECT media_ref, MAX(w) AS w, MAX(h) AS h,
@@ -329,7 +321,23 @@ def media_features_sql(sf_dir: str) -> str:
                      * ((0.299e0 * sr + 0.587e0 * sg + 0.114e0 * sb) / n),
                    0e0)), 6) AS gray_std
         FROM sums s JOIN cross_sums c USING (media_ref)
-    )
+    )"""
+
+
+def media_features_sql(sf_dir: str) -> str:
+    """DuckDB oracle for :func:`media_features`: recompute every stat from
+    the raw payload bytes (see :func:`_media_stats_cte`), matching the
+    engine's round_np(·, 6) (half-away, the repo-wide DuckDB parity mode)
+    exactly."""
+    corpus = corpus_for_sf(sf_dir)
+    blobs = media_blob_path(sf_dir)
+    return f"""
+    WITH manifest AS (
+        SELECT t.doc_id, u.s['media_ref'] AS media_ref
+        FROM read_parquet('{corpus}') t, UNNEST(t.spans) AS u(s)
+        WHERE u.s['kind'] = 'media'
+    ),
+    {_media_stats_cte(blobs)}
     SELECT m.doc_id, m.media_ref, st.width, st.height, st.n_px,
            st.mean_r, st.mean_g, st.mean_b, st.gray_mean, st.gray_std,
            FALSE AS is_stub
@@ -414,6 +422,163 @@ def media_frames_sql(sf_dir: str, n_frames: int = 4) -> str:
     FROM manifest m
          JOIN blobs b USING (media_ref),
          UNNEST(generate_series(0, {k - 1})) AS g(f)
+    """
+
+
+# ---------------- media similarity (multimodal × ANN composition) ---------- #
+
+_VEC_COLS = (
+    "width",
+    "height",
+    "n_px",
+    "mean_r",
+    "mean_g",
+    "mean_b",
+    "gray_mean",
+    "gray_std",
+)
+
+
+class MediaVec(MediaDecode):
+    """Actor-pool stage: payload blobs → per-media_ref stat vectors (the
+    rounded :class:`MediaDecode` stats as 8 flat float components). Input is
+    the blob table itself (media_ref, payload) — one row per DISTINCT media
+    object, no manifest join needed."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:  # type: ignore[override]
+        out = super().__call__(t.append_column("doc_id", t["media_ref"]))
+        return out.drop_columns(["doc_id", "is_stub"])
+
+
+def media_vectors(sf_dir: str):
+    """Distributed decode pass: one stat vector per distinct media object.
+    The embedding consumer the :class:`MediaDecode` docstring promises —
+    feeds :func:`media_ann` (and could feed the embedding-dup family)."""
+    import ray.data as rd
+
+    return rd.read_parquet(media_blob_path(sf_dir)).map_batches(
+        MediaVec,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(2, 8),
+        num_cpus=1,
+    )
+
+
+def _seq_dot(q: np.ndarray, d: np.ndarray) -> np.ndarray:
+    """Left-associative accumulation of Σ q_i·D[:,i] — the same IEEE op
+    order as the SQL oracle's written-out ``+`` chain (numpy's pairwise-sum
+    dot would round differently)."""
+    acc = q[0] * d[:, 0]
+    for i in range(1, len(q)):
+        acc = acc + q[i] * d[:, i]
+    return acc
+
+
+def media_ann(sf_dir: str, n_queries: int = 3, k: int = 5):
+    """Cosine top-k over the pixel-derived media vectors — the multimodal ×
+    similarity composition (decode actor pool → broadcast query matrix →
+    per-batch partial top-k → per-query merge, the :func:`ann_bruteforce`
+    skeleton over media payloads instead of the embeddings table). Query
+    set = the ``n_queries`` lexicographically-lowest media_refs. All float
+    arithmetic is left-associative over the ROUNDED decode stats so the
+    DuckDB oracle (:func:`media_ann_sql`) reproduces every score bit-for-bit."""
+    import duckdb
+    import ray
+
+    # query vectors: decode the n lowest media_refs driver-side (tiny)
+    qt = duckdb.sql(
+        f"SELECT media_ref, payload FROM read_parquet('{media_blob_path(sf_dir)}') "
+        f"ORDER BY media_ref LIMIT {int(n_queries)}"
+    ).arrow()
+    qstats = MediaVec()(qt.select(["media_ref", "payload"]))
+    qrefs = qstats["media_ref"].to_pylist()
+    qm = np.column_stack(
+        [np.asarray(qstats[c], dtype=np.float64) for c in _VEC_COLS]
+    )
+    ref = ray.put((qrefs, qm))
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        qrefs_, qm_ = ray.get(ref)
+        d = np.column_stack(
+            [
+                t[c].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+                for c in _VEC_COLS
+            ]
+        )
+        refs = t["media_ref"].combine_chunks().to_numpy(zero_copy_only=False)
+        nd = np.sqrt(_seq_sq(d))
+        rows = {"qref": [], "media_ref": [], "score": []}
+        for qi, qv in enumerate(qm_):
+            nq = float(np.sqrt(_seq_sq(qv[None, :])[0]))
+            sc = round_np(_seq_dot(qv, d) / (nq * nd), 6)
+            kk = min(k, len(sc))
+            # tie-aware partial top-k: duplicate media produce EQUAL scores,
+            # so the batch-local cut must use the same (score desc,
+            # media_ref asc) total order as the final merge — a plain
+            # argpartition on score would drop an arbitrary tied candidate
+            top = np.lexsort((refs, -sc))[:kk]
+            rows["qref"].extend([qrefs_[qi]] * len(top))
+            rows["media_ref"].extend(refs[top])
+            rows["score"].extend(sc[top])
+        return pa.table(
+            {
+                "qref": pa.array(rows["qref"], pa.string()),
+                "media_ref": pa.array(rows["media_ref"], pa.string()),
+                "score": pa.array(rows["score"], pa.float64()),
+            }
+        )
+
+    cands = media_vectors(sf_dir).map_batches(
+        score_batch, batch_format="pyarrow", batch_size=4096
+    )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "media_ref"], ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[["qref", "media_ref", "rank", "score"]]
+
+    return cands.groupby("qref").map_groups(final_topk, batch_format="pandas")
+
+
+def _seq_sq(m: np.ndarray) -> np.ndarray:
+    """Left-associative Σ m[:,i]² (see :func:`_seq_dot`)."""
+    acc = m[:, 0] * m[:, 0]
+    for i in range(1, m.shape[1]):
+        acc = acc + m[:, i] * m[:, i]
+    return acc
+
+
+def _sql_vec_expr(a: str, b: str) -> str:
+    """Σ a.c·b.c over the vector components, written out left-associative."""
+    return " + ".join(
+        f"CAST({a}.{c} AS DOUBLE) * CAST({b}.{c} AS DOUBLE)" for c in _VEC_COLS
+    )
+
+
+def media_ann_sql(sf_dir: str, n_queries: int = 3, k: int = 5) -> str:
+    """DuckDB oracle for :func:`media_ann`: per-media stats recomputed from
+    raw payload bytes (shared :func:`_media_stats_cte`), cosine written out
+    component-by-component in the engine's exact op order, deterministic
+    (score DESC, media_ref) ranking."""
+    blobs = media_blob_path(sf_dir)
+    return f"""
+    WITH {_media_stats_cte(blobs).lstrip()},
+    q AS (SELECT * FROM stats ORDER BY media_ref LIMIT {int(n_queries)}),
+    scored AS (
+        SELECT q.media_ref AS qref, d.media_ref AS media_ref,
+               ROUND(({_sql_vec_expr('q', 'd')})
+                     / (SQRT({_sql_vec_expr('q', 'q')})
+                        * SQRT({_sql_vec_expr('d', 'd')})), 6) AS score
+        FROM q CROSS JOIN stats d
+    )
+    SELECT qref, media_ref,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY qref ORDER BY score DESC, media_ref
+           ) AS BIGINT) AS rank,
+           score
+    FROM scored
+    QUALIFY rank <= {int(k)}
     """
 
 

@@ -55,6 +55,7 @@ def test_query_matches_duckdb(name, ray_session):
         "media_features",
         "media_resize",
         "media_frames",
+        "media_ann",
         "crawl_bfs",
     ],
 )
@@ -758,3 +759,19 @@ def test_artifact_write_dataset_empty(ray_session, tmp_path, monkeypatch):
     back = pq.read_table(path)
     assert back.num_rows == 0
     assert back.schema.names == ["a", "b"]
+
+
+def test_media_ann_self_match(ray_session):
+    """Every query medium must rank itself first with cosine exactly 1.0
+    (identical rounded stat vectors), and each query returns exactly k rows."""
+    from crawler_ray.pipelines.multimodal import media_ann
+
+    out = to_df(media_ann(SF, n_queries=3, k=5)).sort_values(["qref", "rank"])
+    assert out.groupby("qref").size().eq(5).all()
+    firsts = out[out["rank"] == 1]
+    # rank 1 is always a perfect score; with duplicate payloads the
+    # lexicographically-smallest tied ref wins, which may be the query
+    # itself or an identical twin
+    assert (firsts["score"] == 1.0).all()
+    for qref, grp in out.groupby("qref"):
+        assert qref in set(grp.loc[grp["score"] == 1.0, "media_ref"])
