@@ -113,6 +113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # media stat vectors (decode actor pool -> broadcast queries -> partial
         # top-k), oracled end-to-end from the raw payload bytes
         "media_ann": M.media_ann,
+        # exact binary dedup by content hash (the 100 TB image-dedup primitive)
+        "media_dedup": M.media_dedup,
     }
 
 
@@ -171,6 +173,7 @@ def oracle_sql() -> dict[str, str]:
         "media_resize": _media_sql("media_resize_sql", target=16),
         "media_frames": _media_sql("media_frames_sql"),
         "media_ann": _media_sql("media_ann_sql"),
+        "media_dedup": _media_sql("media_dedup_sql"),
         # artifact oracles: candidates/signatures/probes taken from the
         # dumped intermediates, verification + aggregation recomputed in SQL
         "minhash_pairs": D.minhash_pairs_sql(_SF_ORACLE),

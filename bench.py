@@ -381,6 +381,7 @@ def extra_query_suite() -> dict:
         ("ann_ivf", S.ann_ivf),
         ("media_features", M.media_features),
         ("media_ann", M.media_ann),
+        ("media_dedup", M.media_dedup),
         ("decontaminate", decontaminate),
     ]:
         t0 = time.time()

@@ -582,6 +582,102 @@ def media_ann_sql(sf_dir: str, n_queries: int = 3, k: int = 5) -> str:
     """
 
 
+def media_dedup(sf_dir: str, blobs: str | None = None):
+    """Exact media dedup by content hash — the binary-column analogue of
+    ``exact_dedup``: one row per media object with its content key, the
+    cluster representative (min media_ref sharing the exact payload bytes)
+    and an ``is_dup`` flag. The 100 TB image-dedup primitive: per-batch
+    hashing, ONE hash shuffle on the content key, vectorized per-partition
+    representative assignment (lexsort + segment boundaries) — payload
+    bytes never move past the hashing stage, only (ref, 32-byte key) rows
+    shuffle. Content key = md5 of the uppercase hex dump, byte-identical
+    to DuckDB's ``md5(hex(payload))`` (:func:`media_dedup_sql`)."""
+    import hashlib
+    import os
+
+    import ray.data as rd
+
+    from ..state.seen import stable_hash64
+
+    blobs = blobs or media_blob_path(sf_dir)
+    n_parts = partitions.for_bytes(
+        os.path.getsize(blobs), partitions.TARGET_AGG_BYTES
+    )
+
+    def keys_batch(t: pa.Table) -> pa.Table:
+        ck = np.array(
+            [
+                hashlib.md5(bytes(p).hex().upper().encode()).hexdigest()
+                for p in t["payload"].to_pylist()
+            ],
+            dtype=object,
+        )
+        pkey = (stable_hash64(ck) % np.uint64(n_parts)).astype(np.int64)
+        return pa.table(
+            {
+                "media_ref": t["media_ref"].combine_chunks(),
+                "content_key": pa.array(ck, pa.string()),
+                "pkey": pa.array(pkey),
+            }
+        )
+
+    _DEDUP_SCHEMA = pa.schema(
+        [
+            ("media_ref", pa.string()),
+            ("content_key", pa.string()),
+            ("representative", pa.string()),
+            ("is_dup", pa.bool_()),
+        ]
+    )
+
+    def assign_rep(t: pa.Table) -> pa.Table:
+        if len(t) == 0:  # empty hash partition (Ray may emit one)
+            return _DEDUP_SCHEMA.empty_table()
+        refs = t["media_ref"].combine_chunks().to_numpy(zero_copy_only=False)
+        keys = t["content_key"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((refs, keys))
+        refs, keys = refs[order], keys[order]
+        first = np.empty(len(refs), dtype=bool)
+        first[0] = True
+        first[1:] = keys[1:] != keys[:-1]
+        rep = refs[first][np.cumsum(first) - 1]  # group min → every member
+        return pa.table(
+            {
+                "media_ref": pa.array(refs, pa.string()),
+                "content_key": pa.array(keys, pa.string()),
+                "representative": pa.array(rep, pa.string()),
+                "is_dup": pa.array(refs != rep),
+            }
+        )
+
+    return (
+        rd.read_parquet(blobs)
+        .map_batches(keys_batch, batch_format="pyarrow", batch_size=1024)
+        .groupby("pkey")
+        .map_groups(
+            lambda t: assign_rep(t.drop_columns(["pkey"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def media_dedup_sql(sf_dir: str) -> str:
+    """DuckDB oracle for :func:`media_dedup` — same content hash
+    (md5 over the uppercase hex dump), representative via a window min."""
+    blobs = media_blob_path(sf_dir)
+    return f"""
+    WITH keys AS (
+        SELECT media_ref, md5(hex(payload)) AS content_key
+        FROM read_parquet('{blobs}')
+    )
+    SELECT media_ref, content_key,
+           MIN(media_ref) OVER (PARTITION BY content_key) AS representative,
+           media_ref <> MIN(media_ref) OVER (PARTITION BY content_key)
+               AS is_dup
+    FROM keys
+    """
+
+
 def box_resize(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Box-filter downscale via a 2-D integral image — each output pixel is
     the mean of its source bucket. Pure numpy, exact integer bucket edges."""

@@ -56,6 +56,7 @@ def test_query_matches_duckdb(name, ray_session):
         "media_resize",
         "media_frames",
         "media_ann",
+        "media_dedup",
         "crawl_bfs",
     ],
 )
@@ -775,3 +776,32 @@ def test_media_ann_self_match(ray_session):
     assert (firsts["score"] == 1.0).all()
     for qref, grp in out.groupby("qref"):
         assert qref in set(grp.loc[grp["score"] == 1.0, "media_ref"])
+
+
+def test_media_dedup_planted_duplicates(ray_session, tmp_path):
+    """Exact binary dedup groups identical payload bytes: planted duplicate
+    blobs share a content key and resolve to the lexicographically-smallest
+    representative; unique blobs are not flagged."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.multimodal import media_dedup
+
+    a = b"P6\n10 10\n255\n" + bytes(range(256)) * 2
+    b = b"P6\n10 10\n255\n" + bytes(reversed(range(256)))
+    tab = pa.table(
+        {
+            "media_ref": ["m3", "m1", "m2", "m4"],
+            "payload": pa.array([a, b, a, a], pa.binary()),
+        }
+    )
+    p = str(tmp_path / "blobs.parquet")
+    pq.write_table(tab, p)
+    out = (
+        to_df(media_dedup(SF, blobs=p)).set_index("media_ref").sort_index()
+    )
+    assert out.loc["m1", "is_dup"] == False  # noqa: E712
+    assert out.loc["m2", "is_dup"] == False  # smallest ref of the a-cluster
+    assert list(out.loc[["m3", "m4"], "representative"]) == ["m2", "m2"]
+    assert out.loc[["m3", "m4"], "is_dup"].all()
+    assert out.loc["m1", "content_key"] != out.loc["m2", "content_key"]
