@@ -212,13 +212,14 @@ def scaling_job(spec=None) -> dict:
     }
 
 
-def crawl_e2e(repeats: int = 2) -> dict:
+def crawl_e2e(repeats: int = 3) -> dict:
     """Full BFS crawl of the seed host on the bench corpus (adaptive
     coordinator/distributed rounds). Standing-cluster protocol: the engine's
     actors (seen shards, corpus shards) are created and the corpus loaded
     BEFORE the clock starts — the timed region is the crawl itself, matching
     how a long-lived cluster amortizes actor spin-up. Runs ``repeats`` times
-    and reports the min (run-to-run variance on this box is ±20-40%)."""
+    and reports the min (run-to-run variance on this box is ±20-40% with up
+    to ~7% CPU steal — min-of-3, same discipline as the scaling legs)."""
     import ray
     import pyarrow.parquet as pq
 

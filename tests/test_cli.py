@@ -110,3 +110,18 @@ def test_agent_stamped_into_fetched(ray_session, tmp_path):
     assert agents == {resolve_agent(cfg)}
     assert resolve_agent(cfg) != "random"
     assert resolve_agent(CrawlConfig(agent="custom/1.0")) == "custom/1.0"
+
+
+def test_proxy_passthrough_config():
+    """M7: the ScanRequest proxy field survives every projection surface
+    (CLI args → CrawlConfig, HTTP request → CrawlConfig) even though the
+    corpus model never opens a socket — reference parity is the field
+    mapping (proto/crawler.proto:24, server.rs:19-29)."""
+    from crawler_ray.config import CrawlConfig
+    from crawler_ray.rpc import config_from_request
+
+    cfg = config_from_request(
+        {"url": "https://h.test/", "proxy": "socks5://10.0.0.1:1080"}
+    )
+    assert cfg.proxy == "socks5://10.0.0.1:1080"
+    assert CrawlConfig(url="https://h.test/").proxy == ""
