@@ -80,6 +80,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": T.repetition_stats,
         "lang_id": T.lang_id,
         "quality": T.quality,
+        # corpus statistics & scrubbing
+        "pii_scrub": T.pii_scrub,
+        "top_docs_per_source": T.top_docs_per_source,
+        "token_quantiles": T.token_quantiles,
+        "vocab_stats": T.vocab_stats,
         # deduplication family
         "exact_dedup": D.exact_dedup,
         "minhash_pairs": D.minhash_pairs,
@@ -159,6 +164,10 @@ def oracle_sql() -> dict[str, str]:
         "quality": T.quality_sql(),
         "repetition_stats": T.repetition_stats_sql(),
         "lang_id": T.lang_id_sql(),
+        "pii_scrub": T.pii_scrub_sql(),
+        "top_docs_per_source": T.top_docs_per_source_sql(),
+        "token_quantiles": T.token_quantiles_sql(),
+        "vocab_stats": T.vocab_stats_sql(),
         "exact_dedup": D.exact_dedup_sql(),
         "jaccard_adjacent": D.jaccard_adjacent_sql(),
         "ann_bruteforce": S.ann_bruteforce_sql(),

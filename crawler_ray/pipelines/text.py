@@ -638,3 +638,235 @@ def decontaminate_sql(sf_dir: str, min_shared: int = 2) -> str:
     GROUP BY f.doc_id
     HAVING COUNT(DISTINCT f.fingerprint) >= {min_shared}
     """
+
+
+# --------------------------------------------------------------------------- #
+# Corpus statistics & scrubbing — the remaining curation-adjacent primitives a
+# 100 TB training-data pipeline runs between dedup and export: PII redaction,
+# per-domain top-k selection, exact distribution quantiles, vocabulary stats.
+
+# (name, pattern, replacement) — patterns restricted to syntax where Python
+# `re` and DuckDB's RE2 agree (verified: counts AND sequential global
+# replacement produce byte-identical output in both engines, including the
+# partial-overlap `1.2.3.4.5` edge case).
+_PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+class PiiScrub:
+    """PII redaction stage: per-document counts of each PII family (matched
+    against the RAW text) plus the redacted text (families replaced
+    sequentially, email → phone → ip). Actor pool — patterns compiled once
+    per actor; all matching is vectorized pandas str kernels.
+
+    The synthetic `documents` fixture contains no PII, so at sf scale this is
+    an oracle-checked no-op passthrough; the planted-PII pytest fixture is
+    the non-vacuous check (tests/test_pipelines.py)."""
+
+    def __init__(self):
+        self.pats = [(n, re.compile(rx), tok) for n, rx, tok in _PII_PATTERNS]
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
+        out = {"doc_id": df["doc_id"]}
+        red = text
+        for name, rx, tok in self.pats:
+            out[f"n_{name}"] = text.str.count(rx).astype("int64")
+            red = red.str.replace(rx, tok, regex=True)
+        out["redacted"] = red
+        return pd.DataFrame(out)
+
+
+def pii_scrub(sf_dir: str):
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        PiiScrub, batch_format="pandas", batch_size=4096, concurrency=2
+    )
+
+
+def pii_scrub_sql() -> str:
+    e, p, i = (rx for _, rx, _ in _PII_PATTERNS)
+    return f"""
+    SELECT doc_id,
+           LEN(REGEXP_EXTRACT_ALL(text, '{e}')) AS n_email,
+           LEN(REGEXP_EXTRACT_ALL(text, '{p}')) AS n_phone,
+           LEN(REGEXP_EXTRACT_ALL(text, '{i}')) AS n_ip,
+           REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text,
+               '{e}', '<EMAIL>', 'g'),
+               '{p}', '<PHONE>', 'g'),
+               '{i}', '<IP>', 'g') AS redacted
+    FROM documents
+    """
+
+
+# --------------------------------------------------------------------------- #
+def top_docs_per_source(sf_dir: str, k: int = 3):
+    """Grouped top-k — the "keep the best k documents per domain" curation
+    primitive, ranked by (n_chars DESC, doc_id ASC).
+
+    Scale shape: a per-batch combiner first cuts every block to ≤ k rows per
+    source it contains (a source's global top-k is always a subset of the
+    union of its per-block top-ks), so the only shuffle moves ≤ k·|blocks|
+    rows per source; the final exact rank runs as coarse hash-partitioned
+    segment kernels (`_keyed_partitions` — Python invocations scale with
+    partition count, not source cardinality)."""
+    from .relational import _keyed_partitions, _table_rows
+
+    ds = _read_docs(sf_dir, ["doc_id", "source", "n_chars"])
+    by = ["source", "n_chars", "doc_id"]
+    asc = [True, False, True]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(by, ascending=asc)
+        return df.groupby("source", sort=False).head(k)
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(by, ascending=asc)
+        part = part.assign(
+            rk=(part.groupby("source", sort=False).cumcount() + 1).astype("int64")
+        )
+        return part[part["rk"] <= k]
+
+    pruned = ds.map_batches(partial, batch_format="pandas", batch_size=8192)
+    return _keyed_partitions(
+        pruned, "source", kernel, _table_rows(sf_dir, "documents")
+    )
+
+
+def top_docs_per_source_sql(k: int = 3) -> str:
+    return f"""
+    SELECT source, doc_id, n_chars, rk FROM (
+        SELECT source, doc_id, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id
+               ) AS rk
+        FROM documents
+    ) WHERE rk <= {k}
+    """
+
+
+# --------------------------------------------------------------------------- #
+_QUANTILES = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def token_quantiles(sf_dir: str, qs=_QUANTILES) -> pd.DataFrame:
+    """EXACT distributed quantiles of the per-document whitespace token count
+    (the length-distribution audit every curation run starts from).
+
+    Token counts are small integers, so exact quantiles need no sort and no
+    sketch: each batch collapses to a (n_tokens → count) partial histogram,
+    one grouped sum merges them, and the driver reduces the merged histogram
+    (cardinality ≤ max token count — KBs at any corpus scale) with DuckDB's
+    ``quantile_disc`` rule: the ceil(q·n)-th smallest value, 1-based."""
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["text"].fillna("").str.strip().str.split().str.len().value_counts()
+        return pd.DataFrame(
+            {
+                "n_tokens": vc.index.to_numpy().astype("int64"),
+                "cnt": vc.to_numpy().astype("int64"),
+            }
+        )
+
+    merged = (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(hist, batch_format="pandas", batch_size=8192)
+        .groupby("n_tokens")
+        .sum("cnt")
+        .to_pandas()  # bounded: one row per distinct token count
+        .sort_values("n_tokens")
+    )
+    vals = merged["n_tokens"].to_numpy()
+    cum = merged["sum(cnt)"].to_numpy().cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    out = []
+    for q in qs:
+        rank = max(1, int(np.ceil(q * n)))
+        out.append((float(q), int(vals[np.searchsorted(cum, rank)])))
+    return pd.DataFrame(out, columns=["q", "n_tokens"]).astype(
+        {"q": "float64", "n_tokens": "int64"}
+    )
+
+
+def token_quantiles_sql(qs=_QUANTILES) -> str:
+    arms = "\n    UNION ALL ".join(
+        f"SELECT {q} AS q, QUANTILE_DISC(n_tokens, {q}) AS n_tokens FROM base"
+        for q in qs
+    )
+    return f"""
+    WITH base AS (
+        SELECT LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> x <> ''))
+               AS n_tokens
+        FROM documents
+    )
+    {arms}
+    """
+
+
+# --------------------------------------------------------------------------- #
+def vocab_stats(sf_dir: str, top_m: int = 100):
+    """Corpus vocabulary statistics (the CCNet-style audit table): top-M
+    tokens by total term frequency, with document frequency.
+
+    Scale shape: each batch explodes to (token, tf, doc_freq) partials —
+    doc_freq sums correctly across batches because every document lives in
+    exactly one batch — one grouped sum merges the vocabulary, and top-M is
+    a per-block partial cut followed by one ≤ top_m·|blocks|-row merge."""
+    import pyarrow as pa
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        ex = df["text"].fillna("").str.lower().str.split().explode()
+        ex = ex[ex.notna()]
+        if not len(ex):
+            return pd.DataFrame(
+                {"tok": pd.Series([], dtype=object), "tf": [], "doc_freq": []}
+            ).astype({"tf": "int64", "doc_freq": "int64"})
+        g = pd.DataFrame({"tok": ex.to_numpy(), "row": ex.index.to_numpy()}).groupby(
+            "tok", sort=False
+        )
+        tf = g.size()
+        dfreq = g["row"].nunique()
+        return pd.DataFrame(
+            {
+                "tok": tf.index.to_numpy(),
+                "tf": tf.to_numpy().astype("int64"),
+                "doc_freq": dfreq.reindex(tf.index).to_numpy().astype("int64"),
+            }
+        )
+
+    def rename(t: "pa.Table") -> "pa.Table":
+        return t.rename_columns(["tok", "tf", "doc_freq"])
+
+    def block_topm(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["tf", "tok"], ascending=[False, True]).head(top_m)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=8192)
+        .groupby("tok")
+        .sum(["tf", "doc_freq"])
+        .map_batches(rename, batch_format="pyarrow")
+        .map_batches(block_topm, batch_format="pandas")
+        .repartition(1)
+        .map_batches(block_topm, batch_format="pandas")
+    )
+
+
+def vocab_stats_sql(top_m: int = 100) -> str:
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents
+    ), g AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+        FROM toks GROUP BY tok
+    )
+    SELECT tok, tf, doc_freq FROM g ORDER BY tf DESC, tok LIMIT {top_m}
+    """

@@ -36,6 +36,10 @@ SQL_CHECKED = [
     "events_last_error",
     "props_k_sum",
     "sample_docs",
+    "pii_scrub",
+    "top_docs_per_source",
+    "token_quantiles",
+    "vocab_stats",
 ]
 
 
@@ -643,6 +647,65 @@ def test_whitespace_padded_tokenization_parity(ray_session, tmp_path):
     assert_equivalent(T.token_stats(str(d)), T.token_stats_sql(), str(d))
     assert_equivalent(T.quality(str(d)), T.quality_sql(), str(d))
     assert_equivalent(T.lang_id(str(d)), T.lang_id_sql(), str(d))
+
+
+def test_pii_scrub_planted(ray_session, tmp_path):
+    """The sf fixtures contain no PII, so the sf-level pii_scrub oracle only
+    proves the passthrough; plant real emails/phones/IPs here and check both
+    the counts and the redacted text against the DuckDB oracle, plus pinned
+    expected redactions (non-vacuous semantics check)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines import text as T
+
+    d = tmp_path / "pii"
+    d.mkdir()
+    texts = [
+        "contact joe.doe+spam@ex-ample.co.uk or call 555-867-5309 today",
+        "server at 10.0.255.1 and backup 192.168.0.254; not-an-ip 1.2.3.4.5",
+        "two mails a@b.io c@d.org one phone 123-456-7890",
+        "clean document with no sensitive content at all",
+        "",
+    ]
+    pq.write_table(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts}),
+        str(d / "documents.parquet"),
+    )
+    assert_equivalent(T.pii_scrub(str(d)), T.pii_scrub_sql(), str(d))
+    got = to_df(T.pii_scrub(str(d))).sort_values("doc_id").reset_index(drop=True)
+    assert got["n_email"].tolist() == [1, 0, 2, 0, 0]
+    assert got["n_phone"].tolist() == [1, 0, 1, 0, 0]
+    # '1.2.3.4.5' still contains the '1.2.3.4' prefix match — counted, same
+    # in both engines
+    assert got["n_ip"].tolist() == [0, 3, 0, 0, 0]
+    assert got["redacted"][0] == "contact <EMAIL> or call <PHONE> today"
+    assert got["redacted"][2] == "two mails <EMAIL> <EMAIL> one phone <PHONE>"
+
+
+def test_token_quantiles_rule_matches_duckdb(ray_session, tmp_path):
+    """token_quantiles re-implements QUANTILE_DISC's ceil(q*n)-th-smallest
+    rule driver-side over the merged histogram; pin the rule itself on a
+    small skewed fixture (duplicates + gaps) across many q values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines import text as T
+
+    d = tmp_path / "tq"
+    d.mkdir()
+    texts = (
+        ["one"] * 3
+        + ["two words"] * 5
+        + ["three brown words here now"] * 1
+        + ["a b c d e f g"] * 2
+    )
+    pq.write_table(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts}),
+        str(d / "documents.parquet"),
+    )
+    qs = (0.0, 0.05, 0.1, 0.3, 0.5, 0.7, 0.9, 0.95, 1.0)
+    assert_equivalent(T.token_quantiles(str(d), qs=qs), T.token_quantiles_sql(qs=qs), str(d))
 
 
 def test_export_shard_hash_sql_parity():
