@@ -2,9 +2,11 @@
 
 ``entry()`` — flagship crawl pipeline on the sf0.001-tier synthetic corpus.
 ``queries()`` — one entry per implemented operator/pipeline (SURVEY.md §2 +
-the training-data operator families). ``oracle_sql()`` — DuckDB equivalents
-for every SQL-expressible query; iterative / sketch-based / heuristic ops are
-rows-only by design (the driver records the weaker check for those).
+the training-data operator families). ``oracle_sql()`` — a DuckDB oracle for
+EVERY registered query (50/50): plain SQL where the op is SQL-expressible,
+artifact-backed SQL (signatures/pairs/probes/gram hashes dumped to parquet,
+verification + selection + aggregation recomputed in SQL) for the
+sketch-based ones.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing here
 calls ``ray.init`` / ``ray.shutdown``.
@@ -196,9 +198,10 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": T.decontaminate_sql(_SF_ORACLE),
         "ann_lsh": S.ann_lsh_sql(_SF_ORACLE),
         "ann_ivf": S.ann_ivf_sql(_SF_ORACLE),
-        # still rows-only: winnow_fingerprints only (the selection algorithm
-        # IS the op — an oracle reading its own dump would be vacuous; its
-        # kernel is value-checked through winnow_overlap_pairs/decontaminate).
+        # winnowing selection re-run independently in SQL over the dumped
+        # PRE-selection gram hashes — every registered query now has an
+        # oracle (50/50)
+        "winnow_fingerprints": T.winnow_fingerprints_sql(_SF_ORACLE),
     }
 
 

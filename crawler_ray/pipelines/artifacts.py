@@ -112,7 +112,7 @@ def ensure(sf_dir: str) -> None:
     if not have(sf_dir, "emb_cands"):
         # fixture-tuned params — must match the registered query exactly
         D.embedding_dup_pairs(sf_dir, threshold=0.4, n_planes=6, dump_artifacts=True)
-    if not have(sf_dir, "winnow_fps"):
+    if not have(sf_dir, "winnow_fps", "winnow_grams"):
         T.winnow_fingerprints(sf_dir, dump_artifacts=True)
     if not have(sf_dir, "decon_eval_fps"):
         _ensure_decon_eval(sf_dir)

@@ -300,8 +300,9 @@ def winnow_fingerprints(sf_dir: str, k: int = 5, window: int = 4, dump_artifacts
     SQL-expressible); pytest pins overlap detection on planted shared
     passages. ``dump_artifacts`` writes the (doc_id, fingerprint) rows so
     the overlap-pair and decontamination oracles can recount them in SQL."""
+    kernel = _winnow_batch_kernel(k, window)
     ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        _winnow_batch_kernel(k, window), batch_format="pandas", batch_size=4096
+        kernel, batch_format="pandas", batch_size=4096
     )
     if dump_artifacts:
         from . import artifacts
@@ -310,7 +311,52 @@ def winnow_fingerprints(sf_dir: str, k: int = 5, window: int = 4, dump_artifacts
         artifacts.write_dataset(
             sf_dir, "winnow_fps", ds, columns=["doc_id", "fingerprint"]
         )
+        # pre-selection gram hashes: the SQL oracle re-runs the winnowing
+        # window-min selection itself over these (window functions), making
+        # the selection algorithm — not just its counts — oracle-checked
+        artifacts.write_dataset(
+            sf_dir,
+            "winnow_grams",
+            _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+                kernel.all_grams, batch_format="pandas", batch_size=4096
+            ),
+        )
     return ds
+
+
+def winnow_fingerprints_sql(sf_dir: str, window: int = 4) -> str:
+    """Artifact oracle for :func:`winnow_fingerprints`: given the dumped
+    PRE-selection gram hashes (doc_id, pos, fingerprint), re-run the
+    winnowing selection independently in SQL — every window of ``window``
+    consecutive grams picks its minimum hash with the rightmost tie-break
+    (ROW_NUMBER ordered by unsigned hash ASC, pos DESC), documents with
+    fewer grams than a window keep the rightmost global min (their single
+    clamped window), selections dedup via DISTINCT. Ordering uses the
+    dumped uint64 twin column so SQL compares hashes exactly as the
+    kernel's uint64 argmin does."""
+    from .artifacts import artifact_path
+
+    grams = artifact_path(sf_dir, "winnow_grams")
+    return f"""
+    WITH g AS (
+        SELECT doc_id, pos, fingerprint, fp_u FROM read_parquet('{grams}')
+    ), m AS (
+        SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id
+    ), w AS (
+        SELECT doc_id,
+               UNNEST(RANGE(0, GREATEST(n - {window}, 0) + 1)) AS wstart
+        FROM m
+    ), cand AS (
+        SELECT w.doc_id, w.wstart, g.pos, g.fingerprint,
+               ROW_NUMBER() OVER (
+                   PARTITION BY w.doc_id, w.wstart
+                   ORDER BY g.fp_u ASC, g.pos DESC
+               ) AS rk
+        FROM w JOIN g ON g.doc_id = w.doc_id
+              AND g.pos >= w.wstart AND g.pos < w.wstart + {window}
+    )
+    SELECT DISTINCT doc_id, fingerprint, pos FROM cand WHERE rk = 1
+    """
 
 
 def _winnow_batch_kernel(k: int, window: int):
@@ -327,13 +373,15 @@ def _winnow_batch_kernel(k: int, window: int):
         [("doc_id", pa.int64()), ("fingerprint", pa.int64()), ("pos", pa.int64())]
     ).empty_table()
 
-    def fn(df: pd.DataFrame) -> pa.Table:
+    def grams_of(df: pd.DataFrame):
+        """Flat per-batch gram-hash arrays: (doc_ids, h, gdoc, seg_ids,
+        seg_starts, seg_lens), or None when no document has ≥ k tokens."""
         df = df.reset_index(drop=True)
         toks = df["text"].fillna("").str.lower().str.split()
         counts = toks.str.len().to_numpy(dtype=np.int64)
         keep = counts >= k
         if not keep.any():
-            return empty
+            return None
         doc_ids = df["doc_id"].to_numpy()
         ex = toks[keep].explode()
         flat = pa.array(ex.to_numpy(dtype=object), pa.string())
@@ -355,6 +403,40 @@ def _winnow_batch_kernel(k: int, window: int):
         seg_ids = np.cumsum(seg_start_mask) - 1
         seg_starts = np.flatnonzero(seg_start_mask)
         seg_lens = np.diff(np.append(seg_starts, n))
+        return doc_ids, h, gdoc, seg_ids, seg_starts, seg_lens
+
+    def all_grams(df: pd.DataFrame) -> pa.Table:
+        """Every (doc_id, pos, fingerprint) gram row, pre-selection — the
+        artifact the independent SQL winnowing oracle selects from."""
+        g = grams_of(df)
+        if g is None:
+            return pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("pos", pa.int64()),
+                    ("fingerprint", pa.int64()),
+                    ("fp_u", pa.uint64()),
+                ]
+            ).empty_table()
+        doc_ids, h, gdoc, seg_ids, seg_starts, _ = g
+        pos = np.arange(len(h), dtype=np.int64) - seg_starts[seg_ids]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[gdoc]),
+                "pos": pa.array(pos),
+                "fingerprint": pa.array(h.view(np.int64)),
+                # unsigned copy so SQL can reproduce the kernel's uint64
+                # min-ordering without HUGEINT gymnastics
+                "fp_u": pa.array(h, pa.uint64()),
+            }
+        )
+
+    def fn(df: pd.DataFrame) -> pa.Table:
+        g = grams_of(df)
+        if g is None:
+            return empty
+        doc_ids, h, gdoc, seg_ids, seg_starts, seg_lens = g
+        n = len(h)
         # windows that fit inside a segment: rightmost min via argmin of the
         # REVERSED window (first min of the reversal = rightmost original —
         # the robust-winnowing tie-break)
@@ -384,6 +466,7 @@ def _winnow_batch_kernel(k: int, window: int):
             }
         )
 
+    fn.all_grams = all_grams
     return fn
 
 

@@ -609,6 +609,7 @@ ARTIFACT_SQL_CHECKED = [
     "curate",
     "export_curated",
     "winnow_overlap_pairs",
+    "winnow_fingerprints",
     "decontaminate",
     "ann_lsh",
     "ann_ivf",
