@@ -3,7 +3,7 @@
 ``entry()`` — flagship crawl pipeline on the sf0.001-tier synthetic corpus.
 ``queries()`` — one entry per implemented operator/pipeline (SURVEY.md §2 +
 the training-data operator families). ``oracle_sql()`` — a DuckDB oracle for
-EVERY registered query (50/50): plain SQL where the op is SQL-expressible,
+EVERY registered query (51/51): plain SQL where the op is SQL-expressible,
 artifact-backed SQL (signatures/pairs/probes/gram hashes dumped to parquet,
 verification + selection + aggregation recomputed in SQL) for the
 sketch-based ones.
@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": S.bm25_topk,
         "ann_lsh": S.ann_lsh,
         "ann_ivf": S.ann_ivf,
+        "embed_clusters": S.embed_clusters,
         # multimodal: real pure-numpy PPM decode over payload blobs
         "media_manifest": M.media_manifest,
         "media_meta": M.media_meta,
@@ -198,9 +199,9 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": T.decontaminate_sql(_SF_ORACLE),
         "ann_lsh": S.ann_lsh_sql(_SF_ORACLE),
         "ann_ivf": S.ann_ivf_sql(_SF_ORACLE),
+        "embed_clusters": S.embed_clusters_sql(_SF_ORACLE),
         # winnowing selection re-run independently in SQL over the dumped
-        # PRE-selection gram hashes — every registered query now has an
-        # oracle (50/50)
+        # PRE-selection gram hashes — every registered query has an oracle
         "winnow_fingerprints": T.winnow_fingerprints_sql(_SF_ORACLE),
     }
 

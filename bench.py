@@ -384,6 +384,7 @@ def extra_query_suite() -> dict:
         ("media_ann", M.media_ann),
         ("media_dedup", M.media_dedup),
         ("decontaminate", decontaminate),
+        ("embed_clusters", S.embed_clusters),
         ("pii_scrub", T.pii_scrub),
         ("top_docs_per_source", T.top_docs_per_source),
         ("token_quantiles", T.token_quantiles),

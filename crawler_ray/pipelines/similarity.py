@@ -712,3 +712,69 @@ def bm25_topk_sql(query: str = _BM25_QUERY, k: int = 10, k1: float = 1.2, b: flo
     FROM scored
     QUALIFY rank <= {k}
     """
+
+
+# --------------------------------------------------------------------------- #
+# Embedding clustering: the k-means assignment as a first-class query — the
+# topic-bucketing / data-mixing primitive (cluster-then-sample pipelines).
+
+
+def embed_clusters(sf_dir: str, n_centroids: int = 16, train_sample: int = 4096):
+    """K-means cluster assignment over the embedding table: (vec_id, cell,
+    sim) where ``cell`` is the nearest trained centroid (cosine) and ``sim``
+    the similarity to it.
+
+    Reads the build-once IVF store (`ensure_ivf_index`) — the assignment is
+    already materialized as the store's partition column, so this query costs
+    one streaming pass that recomputes only the per-row similarity (a small
+    einsum against the broadcast centroid matrix). The oracle re-derives the
+    ARGMAX assignment itself from the raw embeddings × the dumped centroid
+    table, so the clustering decision — not just the similarity math — is
+    value-checked."""
+    import ray
+    import ray.data as rd
+
+    index_dir, cents = ensure_ivf_index(sf_dir, n_centroids, train_sample)
+    cref = ray.put(cents)
+
+    def sim_batch(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        x = _normalize(_as_matrix(t))
+        cell = t["cell_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        sims = np.einsum("ij,ij->i", x, c[cell])
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "cell": pa.array(cell.astype(np.int64)),
+                "sim": pa.array(round_np(sims, 6)),
+            }
+        )
+
+    return rd.read_parquet(
+        index_dir, columns=["vec_id", "embedding", "cell_id"]
+    ).map_batches(sim_batch, batch_format="pyarrow", batch_size=8192)
+
+
+def embed_clusters_sql(sf_dir: str, n_centroids: int = 16, train_sample: int = 4096) -> str:
+    """Oracle for :func:`embed_clusters`: nearest centroid recomputed from
+    scratch — raw embeddings × dumped centroid table, full-precision cosine
+    argmax (first-max tie-break on cell, matching np.argmax), similarity
+    rounded like every float that leaves the engine."""
+    index_dir, _ = ensure_ivf_index(sf_dir, n_centroids, train_sample)
+    cent_path = index_dir + ".centroids.parquet"
+    return f"""
+    WITH c AS (
+        SELECT cell, CAST(centroid AS DOUBLE[]) AS ce
+        FROM read_parquet('{cent_path}')
+    ), scored AS (
+        SELECT e.vec_id, c.cell,
+               LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]), c.ce) AS s
+        FROM embeddings e CROSS JOIN c
+    )
+    SELECT vec_id, cell, ROUND(s, 6) AS sim
+    FROM (
+        SELECT vec_id, cell, s,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rk
+        FROM scored
+    ) WHERE rk = 1
+    """

@@ -613,6 +613,7 @@ ARTIFACT_SQL_CHECKED = [
     "decontaminate",
     "ann_lsh",
     "ann_ivf",
+    "embed_clusters",
 ]
 
 
