@@ -3,7 +3,7 @@
 ``entry()`` — flagship crawl pipeline on the sf0.001-tier synthetic corpus.
 ``queries()`` — one entry per implemented operator/pipeline (SURVEY.md §2 +
 the training-data operator families). ``oracle_sql()`` — a DuckDB oracle for
-EVERY registered query (51/51): plain SQL where the op is SQL-expressible,
+EVERY registered query: plain SQL where the op is SQL-expressible,
 artifact-backed SQL (signatures/pairs/probes/gram hashes dumped to parquet,
 verification + selection + aggregation recomputed in SQL) for the
 sketch-based ones.
@@ -61,6 +61,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_volume": R.brand_volume,
         "distinct_nation_keys": R.distinct_nation_keys,
         "events_hourly": R.events_hourly,
+        "events_hopping": R.events_hopping,
+        "customers_without_big_orders": R.customers_without_big_orders,
         "events_lag": R.events_lag,
         "events_running_sum": R.events_running_sum,
         "events_sessions": R.events_sessions,
@@ -153,6 +155,8 @@ def oracle_sql() -> dict[str, str]:
         "brand_volume": R.brand_volume_sql(),
         "distinct_nation_keys": R.distinct_nation_keys_sql(),
         "events_hourly": R.events_hourly_sql(),
+        "events_hopping": R.events_hopping_sql(),
+        "customers_without_big_orders": R.customers_without_big_orders_sql(),
         "events_lag": R.events_lag_sql(),
         "events_running_sum": R.events_running_sum_sql(),
         "events_sessions": R.events_sessions_sql(),

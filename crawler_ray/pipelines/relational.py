@@ -818,3 +818,132 @@ def props_k_sum_sql() -> str:
     FROM events
     GROUP BY user_id
     """
+
+
+# --------------------------------------------------------------------------- #
+def customers_without_big_orders(sf_dir: str, min_total: float = 450_000.0):
+    """Distributed ANTI-join — the "rows with no match" operator (the
+    curation shape behind held-out splits and orphan detection): customers
+    with no order above ``min_total``.
+
+    Scale: the probe side (orders) is filtered AT THE READ then reduced to
+    DISTINCT keys — a per-batch `pc.unique` combiner then a grouped
+    distinct — which bounds the join's right side by |customers| regardless
+    of |orders|; then ONE hash-partitioned left-outer join and a
+    null-marker filter (Ray Data has no native anti join type, so anti =
+    left_outer + keep-unmatched; the right key is folded into the left key
+    by Dataset.join, so the marker is the surviving count column)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    okeys = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "o_custkey": pc.unique(
+                        t.filter(pc.greater(t["o_totalprice"], pa.scalar(min_total)))[
+                            "o_custkey"
+                        ]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .repartition(agg_partitions(sf_dir, "orders"))
+        .groupby("o_custkey")
+        .count()
+        .map_batches(
+            lambda t: t.rename_columns(["o_custkey", "has_order"]),
+            batch_format="pyarrow",
+        )
+    )
+    joined = cust.join(
+        okeys,
+        join_type="left_outer",
+        num_partitions=join_partitions(sf_dir, "customer"),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def keep_unmatched(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_null(t["has_order"])).drop_columns(["has_order"])
+
+    return joined.map_batches(keep_unmatched, batch_format="pyarrow")
+
+
+def customers_without_big_orders_sql(min_total: float = 450_000.0) -> str:
+    return f"""
+    SELECT c_custkey, c_name, c_acctbal FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > {min_total}
+    )
+    """
+
+
+def events_hopping(sf_dir: str, size_s: int = 3600, hop_s: int = 900):
+    """HOPPING-window aggregate (overlapping windows, SURVEY §2.9): each
+    event belongs to size/hop windows, so the expansion is a vectorized
+    repeat/tile flat-map inside the batch — then the same partial-agg →
+    grouped-sum shape as the tumbling window (`events_hourly`). Requires
+    hop_s | size_s (every event is in exactly size//hop windows)."""
+    from ray.data.aggregate import Sum
+
+    assert size_s % hop_s == 0, "hop must divide size"
+    n = size_s // hop_s
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = (ts // (hop_s * 10**6)) * hop_s  # positive ⇒ truncation == floor
+        cents = round_np(
+            t["value"].combine_chunks().to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype("int64")
+        rows = np.repeat(np.arange(len(ts), dtype=np.int64), n)
+        starts = np.repeat(base, n) - np.tile(
+            np.arange(n, dtype=np.int64) * hop_s, len(ts)
+        )
+        t2 = pa.table(
+            {
+                "event_type": t["event_type"].combine_chunks().take(pa.array(rows)),
+                "window_start": pa.array(starts),
+                "cents": pa.array(np.repeat(cents, n)),
+            }
+        )
+        g = t2.group_by(["event_type", "window_start"], use_threads=False).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        return g.rename_columns(["event_type", "window_start", "cents", "n_events"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    out = (
+        partials.repartition(agg_partitions(sf_dir, "events"))
+        .groupby(["event_type", "window_start"])
+        .aggregate(
+            Sum("cents", alias_name="cents"),
+            Sum("n_events", alias_name="n_events"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["sum_value"] = df["cents"] / 100.0
+        df["avg_value"] = round_np(df["cents"] / 100.0 / df["n_events"], 6)
+        return pa.Table.from_pandas(
+            df[["event_type", "window_start", "sum_value", "n_events", "avg_value"]],
+            preserve_index=False,
+        ).replace_schema_metadata(None)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def events_hopping_sql(size_s: int = 3600, hop_s: int = 900) -> str:
+    n = size_s // hop_s
+    return f"""
+    SELECT event_type,
+           CAST((FLOOR(EPOCH(ts) / {hop_s}) - j) * {hop_s} AS BIGINT) AS window_start,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value,
+           COUNT(*) AS n_events,
+           ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 / COUNT(*), 6) AS avg_value
+    FROM events CROSS JOIN (SELECT UNNEST(RANGE(0, {n})) AS j)
+    GROUP BY 1, 2
+    """

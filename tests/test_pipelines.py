@@ -26,6 +26,8 @@ SQL_CHECKED = [
     "brand_volume",
     "distinct_nation_keys",
     "events_hourly",
+    "events_hopping",
+    "customers_without_big_orders",
     "token_stats",
     "fingerprints",
     "exact_dedup",
