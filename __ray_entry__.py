@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": T.pii_scrub,
         "top_docs_per_source": T.top_docs_per_source,
         "token_quantiles": T.token_quantiles,
+        "token_quantiles_by_lang": T.token_quantiles_by_lang,
         "vocab_stats": T.vocab_stats,
         # deduplication family
         "exact_dedup": D.exact_dedup,
@@ -174,6 +175,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": T.pii_scrub_sql(),
         "top_docs_per_source": T.top_docs_per_source_sql(),
         "token_quantiles": T.token_quantiles_sql(),
+        "token_quantiles_by_lang": T.token_quantiles_by_lang_sql(),
         "vocab_stats": T.vocab_stats_sql(),
         "exact_dedup": D.exact_dedup_sql(),
         "jaccard_adjacent": D.jaccard_adjacent_sql(),

@@ -953,3 +953,59 @@ def vocab_stats_sql(top_m: int = 100) -> str:
     )
     SELECT tok, tf, doc_freq FROM g ORDER BY tf DESC, tok LIMIT {top_m}
     """
+
+
+def token_quantiles_by_lang(sf_dir: str, qs=_QUANTILES) -> pd.DataFrame:
+    """GROUPED exact quantiles: the token-length distribution audit per
+    language — same sortless histogram shape as :func:`token_quantiles`,
+    with (lang, n_tokens) as the histogram key. The merged histogram stays
+    bounded by |langs| × max-token-count rows at any corpus scale; the
+    driver reduce applies the ``QUANTILE_DISC`` rule per language."""
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        nt = df["text"].fillna("").str.strip().str.split().str.len()
+        g = (
+            pd.DataFrame({"lang": df["lang"].to_numpy(), "n_tokens": nt.to_numpy()})
+            .groupby(["lang", "n_tokens"], sort=False)
+            .size()
+        )
+        out = g.reset_index()
+        out.columns = ["lang", "n_tokens", "cnt"]
+        return out.astype({"n_tokens": "int64", "cnt": "int64"})
+
+    merged = (
+        _read_docs(sf_dir, ["lang", "text"])
+        .map_batches(hist, batch_format="pandas", batch_size=8192)
+        .groupby(["lang", "n_tokens"])
+        .sum("cnt")
+        .to_pandas()  # bounded: |langs| × distinct token counts
+        .sort_values(["lang", "n_tokens"])
+    )
+    rows = []
+    for lang, part in merged.groupby("lang", sort=True):
+        vals = part["n_tokens"].to_numpy()
+        cum = part["sum(cnt)"].to_numpy().cumsum()
+        n = int(cum[-1])
+        for q in qs:
+            rank = max(1, int(np.ceil(q * n)))
+            rows.append((lang, float(q), int(vals[np.searchsorted(cum, rank)])))
+    return pd.DataFrame(rows, columns=["lang", "q", "n_tokens"]).astype(
+        {"q": "float64", "n_tokens": "int64"}
+    )
+
+
+def token_quantiles_by_lang_sql(qs=_QUANTILES) -> str:
+    arms = "\n    UNION ALL ".join(
+        f"SELECT lang, {q} AS q, QUANTILE_DISC(n_tokens, {q}) AS n_tokens"
+        f" FROM base GROUP BY lang"
+        for q in qs
+    )
+    return f"""
+    WITH base AS (
+        SELECT lang,
+               LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> x <> ''))
+               AS n_tokens
+        FROM documents
+    )
+    {arms}
+    """

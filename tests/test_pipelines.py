@@ -41,6 +41,7 @@ SQL_CHECKED = [
     "pii_scrub",
     "top_docs_per_source",
     "token_quantiles",
+    "token_quantiles_by_lang",
     "vocab_stats",
 ]
 
