@@ -264,7 +264,7 @@ def curate(
     docs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    scored = docs.map_batches(QualityScore, batch_format="pandas", batch_size=4096, concurrency=2)
+    scored = docs.map_batches(QualityScore, batch_format="pandas", batch_size=4096, concurrency=(2, 8))
 
     def gate(df: pd.DataFrame) -> pd.DataFrame:
         keep = (df["n_tokens"] >= min_tokens) & (df["quality"] > min_quality)

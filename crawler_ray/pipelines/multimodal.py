@@ -238,7 +238,7 @@ def media_features(sf_dir: str):
         MediaDecode,
         batch_format="pyarrow",
         batch_size=1024,
-        concurrency=2,
+        concurrency=(2, 8),
         num_cpus=1,
     )
 
@@ -738,7 +738,7 @@ def media_resize(sf_dir: str, target: int = 256):
         fn_constructor_kwargs={"target": target},
         batch_format="pyarrow",
         batch_size=1024,
-        concurrency=2,
+        concurrency=(2, 8),
         num_cpus=1,
     )
 
@@ -789,6 +789,6 @@ def media_frames(sf_dir: str, n_frames: int = 4):
         fn_constructor_kwargs={"n_frames": n_frames},
         batch_format="pyarrow",
         batch_size=1024,
-        concurrency=2,
+        concurrency=(2, 8),
         num_cpus=1,
     )

@@ -145,7 +145,7 @@ class LangId:
 
 def lang_id(sf_dir: str):
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        LangId, batch_format="pandas", batch_size=4096, concurrency=2
+        LangId, batch_format="pandas", batch_size=4096, concurrency=(2, 8)
     )
 
 
@@ -250,7 +250,7 @@ class QualityScore:
 
 def quality(sf_dir: str):
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        QualityScore, batch_format="pandas", batch_size=4096, concurrency=2
+        QualityScore, batch_format="pandas", batch_size=4096, concurrency=(2, 8)
     )
 
 
@@ -765,7 +765,7 @@ class PiiScrub:
 
 def pii_scrub(sf_dir: str):
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        PiiScrub, batch_format="pandas", batch_size=4096, concurrency=2
+        PiiScrub, batch_format="pandas", batch_size=4096, concurrency=(2, 8)
     )
 
 
