@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": _lazy("crawler_ray.pipelines.curate", "dup_clusters"),
         "curate": _lazy("crawler_ray.pipelines.curate", "curate"),
         "export_curated": _export_curated_fresh,
+        "stratified_sample": _lazy("crawler_ray.pipelines.curate", "stratified_sample"),
         # similarity search
         "ann_bruteforce": S.ann_bruteforce,
         "bm25_topk": S.bm25_topk,
@@ -201,6 +202,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": CU.dup_clusters_sql(_SF_ORACLE),
         "curate": CU.curate_sql(_SF_ORACLE),
         "export_curated": CU.export_curated_sql(_SF_ORACLE),
+        "stratified_sample": CU.stratified_sample_sql(),
         "winnow_overlap_pairs": T.winnow_overlap_pairs_sql(_SF_ORACLE),
         "decontaminate": T.decontaminate_sql(_SF_ORACLE),
         "ann_lsh": S.ann_lsh_sql(_SF_ORACLE),

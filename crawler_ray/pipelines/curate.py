@@ -526,3 +526,51 @@ def export_curated_sql(
     LEFT JOIN (SELECT shard, COUNT(*) AS n FROM sh GROUP BY shard) c
            ON c.shard = r.range
     """
+
+
+# --------------------------------------------------------------------------- #
+_DEFAULT_MIX = {"en": 0.25, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
+_MIX_BUCKETS = 10_000
+
+
+def stratified_sample(sf_dir: str, rates: dict | None = None):
+    """Deterministic stratified sampling — the data-MIXING primitive (keep a
+    per-language fraction when assembling a training mix, e.g. downsample the
+    high-resource language). Selection is the same multiplicative-mix hash as
+    the export sharder: seedless, SQL-reproducible, and stable across runs,
+    partitionings and cluster sizes — the property a resumable 100 TB mix
+    job needs (a re-run keeps exactly the same documents). Languages not in
+    ``rates`` keep everything."""
+    import os
+
+    import ray.data as rd
+
+    rates = _DEFAULT_MIX if rates is None else rates
+    thr = {lang: int(round(r * _MIX_BUCKETS)) for lang, r in rates.items()}
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        b = shard_of(df["doc_id"].to_numpy(), _MIX_BUCKETS)
+        cut = df["lang"].map(thr).fillna(_MIX_BUCKETS).to_numpy()
+        return df[b < cut]
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    ).map_batches(keep, batch_format="pandas", batch_size=8192)
+
+
+def stratified_sample_sql(rates: dict | None = None) -> str:
+    rates = _DEFAULT_MIX if rates is None else rates
+    golden = int(_SHARD_MIX)
+    arms = " ".join(
+        f"WHEN '{lang}' THEN {int(round(r * _MIX_BUCKETS))}"
+        for lang, r in sorted(rates.items())
+    )
+    return f"""
+    SELECT doc_id, lang, n_chars FROM (
+        SELECT doc_id, lang, n_chars,
+               CAST(((CAST(doc_id AS HUGEINT) * {golden}) % 18446744073709551616)
+                    // 131072 % {_MIX_BUCKETS} AS BIGINT) AS b
+        FROM documents
+    ) WHERE b < CASE lang {arms} ELSE {_MIX_BUCKETS} END
+    """

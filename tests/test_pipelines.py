@@ -43,6 +43,7 @@ SQL_CHECKED = [
     "token_quantiles",
     "token_quantiles_by_lang",
     "vocab_stats",
+    "stratified_sample",
 ]
 
 
