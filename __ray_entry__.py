@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_nation_keys": R.distinct_nation_keys,
         "events_hourly": R.events_hourly,
         "events_hopping": R.events_hopping,
+        "events_funnel": R.events_funnel,
         "customers_without_big_orders": R.customers_without_big_orders,
         "events_lag": R.events_lag,
         "events_running_sum": R.events_running_sum,
@@ -158,6 +159,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_nation_keys": R.distinct_nation_keys_sql(),
         "events_hourly": R.events_hourly_sql(),
         "events_hopping": R.events_hopping_sql(),
+        "events_funnel": R.events_funnel_sql(),
         "customers_without_big_orders": R.customers_without_big_orders_sql(),
         "events_lag": R.events_lag_sql(),
         "events_running_sum": R.events_running_sum_sql(),

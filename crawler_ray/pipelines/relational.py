@@ -947,3 +947,74 @@ def events_hopping_sql(size_s: int = 3600, hop_s: int = 900) -> str:
     FROM events CROSS JOIN (SELECT UNNEST(RANGE(0, {n})) AS j)
     GROUP BY 1, 2
     """
+
+
+# --------------------------------------------------------------------------- #
+def events_funnel(sf_dir: str, stages=("signup", "click", "purchase")):
+    """Sequential funnel matching (the MATCH_RECOGNIZE-shaped §2.9 op): for
+    each user, the earliest ``stages[0]`` event, then the earliest
+    ``stages[1]`` strictly after it, and so on. Output one row per user:
+    each stage's timestamp in epoch-µs (−1 when the user never reached it —
+    an integer sentinel keeps the NULL representation identical between
+    engines) and the furthest stage index reached.
+
+    Scale shape: runs inside `_keyed_partitions` coarse hash partitions —
+    the per-partition kernel is a chain of |stages| vectorized
+    groupby-mins/merges, never a per-user loop, and the shuffle moves each
+    event once."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.assign(ts_us=part["ts"].astype("int64"))
+        users = part["user_id"].drop_duplicates().sort_values()
+        out = pd.DataFrame({"user_id": users.to_numpy()})
+        prev = None  # Series: user_id -> time of previous stage
+        for i, s in enumerate(stages):
+            sub = part[part["event_type"] == s]
+            if prev is not None:
+                # map (not merge): missing prev → NaN, and int > NaN is
+                # False, so users who never reached the prior stage drop out
+                prev_t = sub["user_id"].map(prev).to_numpy()
+                sub = sub[sub["ts_us"].to_numpy() > prev_t]
+            cur = sub.groupby("user_id")["ts_us"].min()
+            out[f"t_{s}"] = (
+                out["user_id"].map(cur).fillna(-1).astype("int64")
+            )
+            prev = cur
+        reached = (out[[f"t_{s}" for s in stages]].to_numpy() >= 0).sum(axis=1)
+        out["stage"] = reached.astype("int64")
+        return out
+
+    return _keyed_partitions(ds, "user_id", kernel, _table_rows(sf_dir, "events"))
+
+
+def events_funnel_sql(stages=("signup", "click", "purchase")) -> str:
+    ctes = ["u AS (SELECT DISTINCT user_id FROM events)"]
+    prev = None
+    for i, s in enumerate(stages):
+        if prev is None:
+            ctes.append(
+                f"s{i} AS (SELECT user_id, MIN(epoch_us(ts)) AS t{i} "
+                f"FROM events WHERE event_type = '{s}' GROUP BY user_id)"
+            )
+        else:
+            ctes.append(
+                f"s{i} AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t{i} "
+                f"FROM events e JOIN s{i-1} p ON e.user_id = p.user_id "
+                f"WHERE e.event_type = '{s}' AND epoch_us(e.ts) > p.t{i-1} "
+                f"GROUP BY e.user_id)"
+            )
+        prev = s
+    cols = ", ".join(
+        f"COALESCE(s{i}.t{i}, -1) AS t_{s}" for i, s in enumerate(stages)
+    )
+    joins = " ".join(f"LEFT JOIN s{i} ON s{i}.user_id = u.user_id" for i in range(len(stages)))
+    n = len(stages)
+    stage_expr = " + ".join(
+        f"CASE WHEN s{i}.t{i} IS NOT NULL THEN 1 ELSE 0 END" for i in range(n)
+    )
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT u.user_id, {cols}, CAST({stage_expr} AS BIGINT) AS stage
+    FROM u {joins}
+    """

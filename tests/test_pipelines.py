@@ -27,6 +27,7 @@ SQL_CHECKED = [
     "distinct_nation_keys",
     "events_hourly",
     "events_hopping",
+    "events_funnel",
     "customers_without_big_orders",
     "token_stats",
     "fingerprints",
@@ -687,6 +688,48 @@ def test_pii_scrub_planted(ray_session, tmp_path):
     assert got["n_ip"].tolist() == [0, 3, 0, 0, 0]
     assert got["redacted"][0] == "contact <EMAIL> or call <PHONE> today"
     assert got["redacted"][2] == "two mails <EMAIL> <EMAIL> one phone <PHONE>"
+
+
+def test_events_funnel_planted(ray_session, tmp_path):
+    """The sf fixtures are dense enough that every user completes the funnel;
+    plant users stalling at each stage (incl. out-of-order events that must
+    NOT count) and check stage indices + sentinel timestamps vs the oracle."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines import relational as R
+
+    d = tmp_path / "funnel"
+    d.mkdir()
+    TS = lambda m: pd.Timestamp("2026-01-01") + pd.Timedelta(minutes=m)
+    rows = [
+        # u1 completes in order
+        (1, TS(0), "signup"), (1, TS(5), "click"), (1, TS(9), "purchase"),
+        # u2: purchase BEFORE click -> stalls at click (stage 2)
+        (2, TS(0), "signup"), (2, TS(8), "click"), (2, TS(3), "purchase"),
+        # u3: click before signup only -> stage 1
+        (3, TS(4), "signup"), (3, TS(2), "click"),
+        # u4: no signup at all -> stage 0
+        (4, TS(1), "click"), (4, TS(2), "purchase"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows]),
+                "value": pa.array([1.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    assert_equivalent(R.events_funnel(str(d)), R.events_funnel_sql(), str(d))
+    got = to_df(R.events_funnel(str(d))).set_index("user_id")
+    assert got["stage"].to_dict() == {1: 3, 2: 2, 3: 1, 4: 0}
+    assert got.loc[2, "t_purchase"] == -1
+    assert got.loc[4, "t_signup"] == -1
 
 
 def test_token_quantiles_rule_matches_duckdb(ray_session, tmp_path):
