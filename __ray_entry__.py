@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": T.lang_id,
         "quality": T.quality,
         # corpus statistics & scrubbing
+        "normalize_text": T.normalize_text,
         "pii_scrub": T.pii_scrub,
         "top_docs_per_source": T.top_docs_per_source,
         "token_quantiles": T.token_quantiles,
@@ -175,6 +176,7 @@ def oracle_sql() -> dict[str, str]:
         "quality": T.quality_sql(),
         "repetition_stats": T.repetition_stats_sql(),
         "lang_id": T.lang_id_sql(),
+        "normalize_text": T.normalize_text_sql(),
         "pii_scrub": T.pii_scrub_sql(),
         "top_docs_per_source": T.top_docs_per_source_sql(),
         "token_quantiles": T.token_quantiles_sql(),

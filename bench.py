@@ -358,6 +358,7 @@ def extra_query_suite() -> dict:
     from crawler_ray.pipelines import curate as Cu
     from crawler_ray.pipelines import dedup as D
     from crawler_ray.pipelines import multimodal as M
+    from crawler_ray.pipelines import relational as R
     from crawler_ray.pipelines import similarity as S
     from crawler_ray.pipelines import text as T
 
@@ -389,6 +390,9 @@ def extra_query_suite() -> dict:
         ("top_docs_per_source", T.top_docs_per_source),
         ("token_quantiles", T.token_quantiles),
         ("vocab_stats", T.vocab_stats),
+        ("normalize_text", T.normalize_text),
+        ("stratified_sample", Cu.stratified_sample),
+        ("events_funnel", R.events_funnel),
     ]:
         t0 = time.time()
         consume(fn(SF_DIR))

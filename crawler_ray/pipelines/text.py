@@ -1009,3 +1009,37 @@ def token_quantiles_by_lang_sql(qs=_QUANTILES) -> str:
     )
     {arms}
     """
+
+
+# --------------------------------------------------------------------------- #
+def normalize_text(sf_dir: str):
+    """Text normalization — the standard pre-tokenization cleanup stage:
+    lowercase, collapse whitespace runs to single spaces, strip. Vectorized
+    pandas str kernels; `changed` flags rows the normalization touched.
+    The sf fixtures are already normalized (oracle proves the passthrough);
+    the planted messy-text pytest fixture is the non-vacuous check."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
+        norm = text.str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "norm_text": norm,
+                "changed": (norm != text).astype("int64"),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas", batch_size=8192
+    )
+
+
+def normalize_text_sql() -> str:
+    return r"""
+    SELECT doc_id,
+           TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g'), ' ') AS norm_text,
+           CAST(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g'), ' ') <> text
+                AS BIGINT) AS changed
+    FROM documents
+    """

@@ -39,6 +39,7 @@ SQL_CHECKED = [
     "events_last_error",
     "props_k_sum",
     "sample_docs",
+    "normalize_text",
     "pii_scrub",
     "top_docs_per_source",
     "token_quantiles",
@@ -654,6 +655,12 @@ def test_whitespace_padded_tokenization_parity(ray_session, tmp_path):
     assert_equivalent(T.token_stats(str(d)), T.token_stats_sql(), str(d))
     assert_equivalent(T.quality(str(d)), T.quality_sql(), str(d))
     assert_equivalent(T.lang_id(str(d)), T.lang_id_sql(), str(d))
+    # normalize_text on messy text: lowercase + collapse + strip is
+    # non-trivial here (the sf fixtures are already normalized)
+    assert_equivalent(T.normalize_text(str(d)), T.normalize_text_sql(), str(d))
+    nt = to_df(T.normalize_text(str(d))).sort_values("doc_id")
+    assert nt["norm_text"].tolist()[0] == "hello world"
+    assert nt["changed"].tolist() == [1, 1, 1, 0, 1, 0]
 
 
 def test_pii_scrub_planted(ray_session, tmp_path):
