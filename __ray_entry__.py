@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_links": C.corpus_links,
         "span_profile": C.span_profile,
         "crawl_bfs": C.crawl_bfs,
+        # graph analytics: fixed-point integer PageRank over the link graph
+        "pagerank": C.pagerank,
         # text analysis
         "token_stats": T.token_stats,
         "fingerprints": T.fingerprints,
@@ -171,6 +173,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_links": C.corpus_links_sql(_SF_ORACLE),
         "span_profile": C.span_profile_sql(_SF_ORACLE),
         "crawl_bfs": C.crawl_bfs_sql(_SF_ORACLE),
+        "pagerank": C.pagerank_sql(_SF_ORACLE),
         "token_stats": T.token_stats_sql(),
         "fingerprints": T.fingerprints_sql(),
         "quality": T.quality_sql(),

@@ -154,3 +154,138 @@ def crawl_bfs_sql(sf_dir: str) -> str:
     FROM bfs
     GROUP BY url
     """
+
+
+# --------------------------------------------------------------------------- #
+def pagerank(sf_dir: str, n_iters: int = 5, scale: int = 10**12):
+    """Fixed-point integer PageRank over the corpus link graph — the graph-
+    analytics member of the training-data family (link-authority weighting
+    for crawl prioritization / quality signals).
+
+    All arithmetic is INTEGER (rank in ``scale`` micro-units, floor
+    division, damping 85/100), which makes the result BIT-IDENTICAL between
+    the distributed engine and the SQL oracle — the textbook double
+    formulation accumulates engine-specific summation-order error across
+    iterations and can never hash-match. Dangling mass is dropped (both
+    sides), teleport term is ``(15 * (scale // n)) // 100``.
+
+    Scale shape: one hash shuffle makes edges distinct; each iteration is a
+    contrib projection → one edges⋈contrib hash join → grouped sum → one
+    nodes⋈sums left join; the (url, deg, rank) state materializes per
+    iteration (bounded: one row per node) to keep lineage flat — the
+    classic iterative-dataflow checkpoint."""
+    import pyarrow.compute as pc
+
+    links = corpus_links(sf_dir).select_columns(["src", "dst"])
+    edges = (
+        links.groupby(["src", "dst"])
+        .count()
+        .select_columns(["src", "dst"])
+        .materialize()
+    )
+    deg = edges.groupby("src").count()  # (src, count())
+    from .partitions import for_rows
+
+    n_parts = for_rows(edges.count(), 2_000_000, floor=1)
+
+    def as_url(name):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({"url": pc.unique(t[name].combine_chunks())})
+
+        return fn
+
+    nodes = (
+        edges.map_batches(as_url("src"), batch_format="pyarrow")
+        .union(edges.map_batches(as_url("dst"), batch_format="pyarrow"))
+        .groupby("url")
+        .count()
+        .select_columns(["url"])
+    )
+    n = nodes.count()
+    base = scale // n
+    teleport = (15 * base) // 100
+
+    def init_state(t: pa.Table) -> pa.Table:
+        d = t["count()"].combine_chunks()
+        return pa.table(
+            {
+                "url": t["url"].combine_chunks(),
+                "deg": d.fill_null(0).cast(pa.int64()),
+                "rank": pa.array([base] * len(t), pa.int64()),
+            }
+        )
+
+    state = (
+        nodes.join(deg, join_type="left_outer", num_partitions=n_parts,
+                   on=("url",), right_on=("src",))
+        .map_batches(init_state, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def contrib(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["deg"], pa.scalar(0)))
+        c = pc.divide(t["rank"].combine_chunks(), t["deg"].combine_chunks())
+        return pa.table({"src": t["url"].combine_chunks(), "c": c})
+
+    for _ in range(n_iters):
+        msgs = edges.join(
+            state.map_batches(contrib, batch_format="pyarrow"),
+            join_type="inner", num_partitions=n_parts, on=("src",), right_on=("src",),
+        )
+        sums = msgs.groupby("dst").sum("c")
+
+        def apply(t: pa.Table) -> pa.Table:
+            s = t["sum(c)"].combine_chunks().fill_null(0)
+            new = pc.add(
+                pa.scalar(teleport, pa.int64()),
+                pc.divide(pc.multiply(s, pa.scalar(85, pa.int64())), pa.scalar(100, pa.int64())),
+            )
+            return pa.table(
+                {
+                    "url": t["url"].combine_chunks(),
+                    "deg": t["deg"].combine_chunks(),
+                    "rank": new,
+                }
+            )
+
+        state = (
+            state.join(sums, join_type="left_outer", num_partitions=n_parts,
+                       on=("url",), right_on=("dst",))
+            .map_batches(apply, batch_format="pyarrow")
+            .materialize()
+        )
+
+    return state.select_columns(["url", "rank"])
+
+
+def pagerank_sql(sf_dir: str, n_iters: int = 5, scale: int = 10**12) -> str:
+    """Oracle for :func:`pagerank`: the same integer fixed-point recurrence,
+    unrolled as one CTE per iteration (SUM promotes to HUGEINT; every
+    intermediate stays exact, final rank cast back to BIGINT)."""
+    path = corpus_for_sf(sf_dir)
+    ctes = [
+        f"""e AS (
+        SELECT DISTINCT t.doc_id AS src, u.s['text'] AS dst
+        FROM read_parquet('{path}') t, UNNEST(t.spans) AS u(s)
+        WHERE u.s['kind'] = 'link'
+    )""",
+        "v AS (SELECT src AS url FROM e UNION SELECT dst FROM e)",
+        "d AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src)",
+        f"nn AS (SELECT COUNT(*) AS n FROM v)",
+        f"r0 AS (SELECT url, (SELECT {scale} // n FROM nn) AS rank FROM v)",
+    ]
+    for i in range(n_iters):
+        ctes.append(f"""r{i + 1} AS (
+        SELECT v.url,
+               (15 * (SELECT {scale} // n FROM nn)) // 100
+               + (85 * COALESCE(s.s, 0)) // 100 AS rank
+        FROM v LEFT JOIN (
+            SELECT e.dst AS url, SUM(r{i}.rank // d.deg) AS s
+            FROM e JOIN r{i} ON r{i}.url = e.src JOIN d ON d.src = e.src
+            GROUP BY e.dst
+        ) s ON s.url = v.url
+    )""")
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT url, CAST(rank AS BIGINT) AS rank FROM r{n_iters}
+    """

@@ -68,6 +68,7 @@ def test_query_matches_duckdb(name, ray_session):
         "media_ann",
         "media_dedup",
         "crawl_bfs",
+        "pagerank",
     ],
 )
 def test_corpus_query_matches_duckdb(name, ray_session):
