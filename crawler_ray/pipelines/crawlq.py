@@ -200,6 +200,7 @@ def pagerank(sf_dir: str, n_iters: int = 5, scale: int = 10**12):
         .groupby("url")
         .count()
         .select_columns(["url"])
+        .materialize()  # consumed twice: count() below and the state join
     )
     n = nodes.count()
     base = scale // n

@@ -826,34 +826,47 @@ def customers_without_big_orders(sf_dir: str, min_total: float = 450_000.0):
     curation shape behind held-out splits and orphan detection): customers
     with no order above ``min_total``.
 
-    Scale: the probe side (orders) is filtered AT THE READ then reduced to
-    DISTINCT keys — a per-batch `pc.unique` combiner then a grouped
-    distinct — which bounds the join's right side by |customers| regardless
-    of |orders|; then ONE hash-partitioned left-outer join and a
-    null-marker filter (Ray Data has no native anti join type, so anti =
-    left_outer + keep-unmatched; the right key is folded into the left key
-    by Dataset.join, so the marker is the surviving count column)."""
+    Scale: the probe side (orders) is filtered AT THE READ and cut to
+    per-batch-unique keys, bounding the join's right side by |matched
+    customers| × dup-factor regardless of |orders| (cross-batch duplicates
+    only multiply MATCHED rows, which the anti-join discards — so no global
+    distinct shuffle is needed); then ONE hash-partitioned left-outer join
+    and a null-marker filter (Ray Data has no native anti join type, so
+    anti = left_outer + keep-unmatched)."""
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
-    okeys = (
-        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "o_custkey": pc.unique(
-                        t.filter(pc.greater(t["o_totalprice"], pa.scalar(min_total)))[
-                            "o_custkey"
-                        ]
-                    )
-                }
-            ),
-            batch_format="pyarrow",
+
+    def probe_keys(t: pa.Table) -> pa.Table:
+        # per-batch unique is enough: right-side duplicates (a key surviving
+        # in several batches) only multiply MATCHED rows, which the
+        # anti-join discards — and skipping the global distinct keeps the
+        # right side schema-typed even when the filter empties every batch
+        # (Ray's hash shuffle drops the schema of all-empty partitions).
+        # Dataset.join folds the right key into the left one, so the
+        # unmatched marker must be a NON-key column (has_order).
+        u = pc.unique(
+            t.filter(pc.greater(t["o_totalprice"], pa.scalar(min_total)))["o_custkey"]
         )
-        .repartition(agg_partitions(sf_dir, "orders"))
-        .groupby("o_custkey")
-        .count()
-        .map_batches(
-            lambda t: t.rename_columns(["o_custkey", "has_order"]),
-            batch_format="pyarrow",
+        return pa.table(
+            {"o_custkey": u, "has_order": pa.array(np.ones(len(u), dtype=np.int64))}
+        )
+
+    import ray.data as rd
+
+    okeys = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        probe_keys, batch_format="pyarrow"
+    )
+    # sentinel row keeps the right side non-empty: even typed-empty blocks
+    # lose their schema inside the join's hash shuffle, which aborts the
+    # join with a missing-key error. Customer keys are ≥ 0, so key −1 can
+    # never match and the sentinel drops out of the left-outer join.
+    okeys = okeys.union(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "o_custkey": pa.array([-1], pa.int64()),
+                    "has_order": pa.array([1], pa.int64()),
+                }
+            )
         )
     )
     joined = cust.join(
@@ -865,6 +878,11 @@ def customers_without_big_orders(sf_dir: str, min_total: float = 450_000.0):
     )
 
     def keep_unmatched(t: pa.Table) -> pa.Table:
+        # an ALL-empty probe side can lose its schema through the hash
+        # shuffle (see partitions.py) — a block without the marker column
+        # means nothing matched: keep every row
+        if "has_order" not in t.column_names:
+            return t
         return t.filter(pc.is_null(t["has_order"])).drop_columns(["has_order"])
 
     return joined.map_batches(keep_unmatched, batch_format="pyarrow")
@@ -977,11 +995,14 @@ def events_funnel(sf_dir: str, stages=("signup", "click", "purchase")):
                 prev_t = sub["user_id"].map(prev).to_numpy()
                 sub = sub[sub["ts_us"].to_numpy() > prev_t]
             cur = sub.groupby("user_id")["ts_us"].min()
-            out[f"t_{s}"] = (
-                out["user_id"].map(cur).fillna(-1).astype("int64")
-            )
+            mapped = out["user_id"].map(cur)
+            out[f"t_{s}"] = mapped.fillna(-1).astype("int64")
+            # reached = IS NOT NULL (matches the oracle even for pre-epoch
+            # timestamps, where the -1 display sentinel would be ambiguous)
+            out[f"_r_{s}"] = mapped.notna()
             prev = cur
-        reached = (out[[f"t_{s}" for s in stages]].to_numpy() >= 0).sum(axis=1)
+        reached = out[[f"_r_{s}" for s in stages]].to_numpy().sum(axis=1)
+        out = out.drop(columns=[f"_r_{s}" for s in stages])
         out["stage"] = reached.astype("int64")
         return out
 

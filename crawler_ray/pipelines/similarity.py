@@ -759,7 +759,11 @@ def embed_clusters_sql(sf_dir: str, n_centroids: int = 16, train_sample: int = 4
     """Oracle for :func:`embed_clusters`: nearest centroid recomputed from
     scratch — raw embeddings × dumped centroid table, full-precision cosine
     argmax (first-max tie-break on cell, matching np.argmax), similarity
-    rounded like every float that leaves the engine."""
+    rounded like every float that leaves the engine. Caveat: the oracle's
+    full-precision cosine differs from the store's numpy argmax by ~1 ulp,
+    so a vector EXACTLY equidistant between two centroids could flip cells
+    between engines — deterministic on these fixtures, and any such flip is
+    an equally-correct assignment."""
     index_dir, _ = ensure_ivf_index(sf_dir, n_centroids, train_sample)
     cent_path = index_dir + ".centroids.parquet"
     return f"""

@@ -313,7 +313,10 @@ def winnow_fingerprints(sf_dir: str, k: int = 5, window: int = 4, dump_artifacts
         )
         # pre-selection gram hashes: the SQL oracle re-runs the winnowing
         # window-min selection itself over these (window functions), making
-        # the selection algorithm — not just its counts — oracle-checked
+        # the selection algorithm — not just its counts — oracle-checked.
+        # This is a second tokenize+hash pass over the corpus; acceptable
+        # because artifact dumps run only on the oracle path at oracle scale,
+        # never in production pipelines
         artifacts.write_dataset(
             sf_dir,
             "winnow_grams",
@@ -734,9 +737,13 @@ def decontaminate_sql(sf_dir: str, min_shared: int = 2) -> str:
 # partial-overlap `1.2.3.4.5` edge case).
 _PII_PATTERNS = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
-    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b", "<PHONE>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
 )
+# Parity caveat (shared with quality_sql): digit classes are explicit [0-9]
+# so Python re and RE2 agree on Unicode digits; \b remains ASCII in RE2 vs
+# Unicode-aware in Python — divergent only when PII abuts non-ASCII word
+# characters (the fixtures and tests are ASCII; documented, not silent).
 
 
 class PiiScrub:
@@ -831,6 +838,9 @@ def top_docs_per_source_sql(k: int = 3) -> str:
 
 
 # --------------------------------------------------------------------------- #
+# Tokenization parity caveat for the ops below (same as quality/lang_id):
+# pandas str.split() splits on Unicode whitespace, the oracles' RE2 \s+ is
+# ASCII-only — identical on these corpora (ASCII), divergent on e.g. U+00A0.
 _QUANTILES = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
 
 
@@ -861,16 +871,28 @@ def token_quantiles(sf_dir: str, qs=_QUANTILES) -> pd.DataFrame:
         .to_pandas()  # bounded: one row per distinct token count
         .sort_values("n_tokens")
     )
-    vals = merged["n_tokens"].to_numpy()
-    cum = merged["sum(cnt)"].to_numpy().cumsum()
-    n = int(cum[-1]) if len(cum) else 0
-    out = []
-    for q in qs:
-        rank = max(1, int(np.ceil(q * n)))
-        out.append((float(q), int(vals[np.searchsorted(cum, rank)])))
+    out = [
+        (float(q), v)
+        for q, v in _quantile_disc_reduce(
+            merged["n_tokens"].to_numpy(), merged["sum(cnt)"].to_numpy(), qs
+        )
+    ]
     return pd.DataFrame(out, columns=["q", "n_tokens"]).astype(
         {"q": "float64", "n_tokens": "int64"}
     )
+
+
+def _quantile_disc_reduce(vals, cnts, qs):
+    """DuckDB QUANTILE_DISC over a sorted (value, count) histogram: the
+    ceil(q*n)-th smallest element, 1-based. Shared by the global and the
+    grouped quantile reduces; yields nothing on an empty histogram."""
+    if not len(vals):
+        return
+    cum = np.asarray(cnts).cumsum()
+    n = int(cum[-1])
+    for q in qs:
+        rank = max(1, int(np.ceil(q * n)))
+        yield q, int(vals[np.searchsorted(cum, rank)])
 
 
 def token_quantiles_sql(qs=_QUANTILES) -> str:
@@ -906,9 +928,16 @@ def vocab_stats(sf_dir: str, top_m: int = 100):
         ex = df["text"].fillna("").str.lower().str.split().explode()
         ex = ex[ex.notna()]
         if not len(ex):
+            # typed empty frame: an object-dtype empty column becomes a
+            # null-typed Arrow column, which clashes with the string-typed
+            # blocks at the groupby shuffle
             return pd.DataFrame(
-                {"tok": pd.Series([], dtype=object), "tf": [], "doc_freq": []}
-            ).astype({"tf": "int64", "doc_freq": "int64"})
+                {
+                    "tok": pd.Series([], dtype="string"),
+                    "tf": pd.Series([], dtype="int64"),
+                    "doc_freq": pd.Series([], dtype="int64"),
+                }
+            )
         g = pd.DataFrame({"tok": ex.to_numpy(), "row": ex.index.to_numpy()}).groupby(
             "tok", sort=False
         )
@@ -983,12 +1012,10 @@ def token_quantiles_by_lang(sf_dir: str, qs=_QUANTILES) -> pd.DataFrame:
     )
     rows = []
     for lang, part in merged.groupby("lang", sort=True):
-        vals = part["n_tokens"].to_numpy()
-        cum = part["sum(cnt)"].to_numpy().cumsum()
-        n = int(cum[-1])
-        for q in qs:
-            rank = max(1, int(np.ceil(q * n)))
-            rows.append((lang, float(q), int(vals[np.searchsorted(cum, rank)])))
+        for q, v in _quantile_disc_reduce(
+            part["n_tokens"].to_numpy(), part["sum(cnt)"].to_numpy(), qs
+        ):
+            rows.append((lang, float(q), v))
     return pd.DataFrame(rows, columns=["lang", "q", "n_tokens"]).astype(
         {"q": "float64", "n_tokens": "int64"}
     )

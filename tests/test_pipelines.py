@@ -698,6 +698,18 @@ def test_pii_scrub_planted(ray_session, tmp_path):
     assert got["redacted"][2] == "two mails <EMAIL> <EMAIL> one phone <PHONE>"
 
 
+def test_anti_join_empty_probe_side(ray_session):
+    """min_total above every order price: the probe side is all-empty (its
+    schema can drop through the hash shuffle) — the anti-join must return
+    EVERY customer rather than KeyError on the missing marker column."""
+    from crawler_ray.pipelines import relational as R
+
+    sf = "/root/testdata/sf0.001"
+    got = to_df(R.customers_without_big_orders(sf, min_total=10**9))
+    assert len(got) == 150
+    assert sorted(got.columns) == ["c_acctbal", "c_custkey", "c_name"]
+
+
 def test_events_funnel_planted(ray_session, tmp_path):
     """The sf fixtures are dense enough that every user completes the funnel;
     plant users stalling at each stage (incl. out-of-order events that must
