@@ -1048,7 +1048,14 @@ def normalize_text(sf_dir: str):
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         text = df["text"].fillna("")
-        norm = text.str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+        # explicit ASCII whitespace class on BOTH sides (Python \s is
+        # Unicode, RE2's is ASCII): parity holds for any input, and a
+        # non-ASCII space like U+00A0 is uniformly left alone
+        norm = (
+            text.str.lower()
+            .str.replace(r"[ \t\n\r\f\v]+", " ", regex=True)
+            .str.strip(" ")
+        )
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
@@ -1065,8 +1072,8 @@ def normalize_text(sf_dir: str):
 def normalize_text_sql() -> str:
     return r"""
     SELECT doc_id,
-           TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g'), ' ') AS norm_text,
-           CAST(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g'), ' ') <> text
+           TRIM(REGEXP_REPLACE(LOWER(text), '[ \t\n\r\f\v]+', ' ', 'g'), ' ') AS norm_text,
+           CAST(TRIM(REGEXP_REPLACE(LOWER(text), '[ \t\n\r\f\v]+', ' ', 'g'), ' ') <> text
                 AS BIGINT) AS changed
     FROM documents
     """
