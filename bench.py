@@ -355,6 +355,7 @@ def extra_query_suite() -> dict:
     curation, partitioned-store ANN, text scoring, media decode). Runs
     AFTER the headline total is closed so `value` stays comparable to the
     BASELINE ranges folded from the original 14-query suite."""
+    from crawler_ray.pipelines import crawlq as C
     from crawler_ray.pipelines import curate as Cu
     from crawler_ray.pipelines import dedup as D
     from crawler_ray.pipelines import multimodal as M
@@ -393,6 +394,7 @@ def extra_query_suite() -> dict:
         ("normalize_text", T.normalize_text),
         ("stratified_sample", Cu.stratified_sample),
         ("events_funnel", R.events_funnel),
+        ("pagerank", C.pagerank),
     ]:
         t0 = time.time()
         consume(fn(SF_DIR))

@@ -157,7 +157,13 @@ def crawl_bfs_sql(sf_dir: str) -> str:
 
 
 # --------------------------------------------------------------------------- #
-def pagerank(sf_dir: str, n_iters: int = 5, scale: int = 10**12):
+def pagerank(
+    sf_dir: str,
+    n_iters: int = 5,
+    scale: int = 10**12,
+    distributed: bool | None = None,
+    mem_cutoff: int = 2_000_000,
+):
     """Fixed-point integer PageRank over the corpus link graph — the graph-
     analytics member of the training-data family (link-authority weighting
     for crawl prioritization / quality signals).
@@ -173,7 +179,12 @@ def pagerank(sf_dir: str, n_iters: int = 5, scale: int = 10**12):
     contrib projection → one edges⋈contrib hash join → grouped sum → one
     nodes⋈sums left join; the (url, deg, rank) state materializes per
     iteration (bounded: one row per node) to keep lineage flat — the
-    classic iterative-dataflow checkpoint."""
+    classic iterative-dataflow checkpoint. Below ``mem_cutoff`` distinct
+    edges, the same integer recurrence runs as an in-memory numpy kernel
+    (factorize → bincount degrees → np.add.at message sums) — identical
+    results by construction since every operation is exact integer math;
+    the dup_clusters precedent for small-side shortcuts with a pinned
+    parity test."""
     import pyarrow.compute as pc
 
     links = corpus_links(sf_dir).select_columns(["src", "dst"])
@@ -183,10 +194,15 @@ def pagerank(sf_dir: str, n_iters: int = 5, scale: int = 10**12):
         .select_columns(["src", "dst"])
         .materialize()
     )
+    n_edges = edges.count()
+    if distributed is None:
+        distributed = n_edges > mem_cutoff
+    if not distributed:
+        return _pagerank_numpy(edges.to_pandas(), n_iters, scale)
     deg = edges.groupby("src").count()  # (src, count())
     from .partitions import for_rows
 
-    n_parts = for_rows(edges.count(), 2_000_000, floor=1)
+    n_parts = for_rows(n_edges, 2_000_000, floor=1)
 
     def as_url(name):
         def fn(t: pa.Table) -> pa.Table:
@@ -257,6 +273,32 @@ def pagerank(sf_dir: str, n_iters: int = 5, scale: int = 10**12):
         )
 
     return state.select_columns(["url", "rank"])
+
+
+def _pagerank_numpy(edges, n_iters: int, scale: int):
+    """In-memory exact-integer PageRank kernel (small-graph path): identical
+    results to the Dataset path — every operation is int64 floor math."""
+    import numpy as np
+    import pandas as pd
+
+    codes, urls = pd.factorize(
+        pd.concat([edges["src"], edges["dst"]], ignore_index=True), sort=False
+    )
+    m = len(edges)
+    src_i, dst_i = codes[:m], codes[m:]
+    n = len(urls)
+    deg = np.bincount(src_i, minlength=n).astype(np.int64)
+    base = scale // n
+    teleport = (15 * base) // 100
+    rank = np.full(n, base, dtype=np.int64)
+    for _ in range(n_iters):
+        contrib = np.zeros(n, dtype=np.int64)
+        has = deg > 0
+        contrib[has] = rank[has] // deg[has]
+        sums = np.zeros(n, dtype=np.int64)
+        np.add.at(sums, dst_i, contrib[src_i])
+        rank = teleport + (85 * sums) // 100
+    return pd.DataFrame({"url": urls, "rank": rank})
 
 
 def pagerank_sql(sf_dir: str, n_iters: int = 5, scale: int = 10**12) -> str:

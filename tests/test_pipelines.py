@@ -698,6 +698,17 @@ def test_pii_scrub_planted(ray_session, tmp_path):
     assert got["redacted"][2] == "two mails <EMAIL> <EMAIL> one phone <PHONE>"
 
 
+def test_pagerank_paths_bit_identical(ray_session):
+    """The in-memory numpy kernel and the Dataset iterative path must agree
+    BIT-EXACTLY (the whole point of the integer fixed-point formulation)."""
+    from crawler_ray.pipelines import crawlq as C
+
+    sf = "/root/testdata/sf0.001"
+    a = to_df(C.pagerank(sf)).sort_values("url").reset_index(drop=True)
+    b = to_df(C.pagerank(sf, distributed=True)).sort_values("url").reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_anti_join_empty_probe_side(ray_session):
     """min_total above every order price: the probe side is all-empty (its
     schema can drop through the hash shuffle) — the anti-join must return
