@@ -698,6 +698,29 @@ def test_pii_scrub_planted(ray_session, tmp_path):
     assert got["redacted"][2] == "two mails <EMAIL> <EMAIL> one phone <PHONE>"
 
 
+def test_stratified_sample_stable_across_partitionings(ray_session, tmp_path):
+    """The docstring's core claim: selection is a pure function of doc_id,
+    so the kept set is identical however the input is partitioned/ordered
+    (a resumed or re-planned 100 TB mix keeps exactly the same documents)."""
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.curate import stratified_sample
+
+    sf = "/root/testdata/sf0.001"
+    base = to_df(stratified_sample(sf)).sort_values("doc_id").reset_index(drop=True)
+
+    # same table, shuffled row order and a different row-group layout
+    t = pq.read_table(f"{sf}/documents.parquet")
+    rng = np.random.default_rng(3)
+    d = tmp_path / "shuffled"
+    d.mkdir()
+    pq.write_table(
+        t.take(rng.permutation(len(t))), str(d / "documents.parquet"), row_group_size=37
+    )
+    got = to_df(stratified_sample(str(d))).sort_values("doc_id").reset_index(drop=True)
+    assert got.equals(base)
+
+
 def test_pagerank_paths_bit_identical(ray_session):
     """The in-memory numpy kernel and the Dataset iterative path must agree
     BIT-EXACTLY (the whole point of the integer fixed-point formulation)."""
