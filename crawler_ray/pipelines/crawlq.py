@@ -195,6 +195,14 @@ def pagerank(
         .materialize()
     )
     n_edges = edges.count()
+    if n_edges == 0:
+        # empty link graph: no nodes, so base = scale // n is undefined —
+        # return the empty (url, rank) frame both paths would converge to
+        import pandas as pd
+
+        return pd.DataFrame(
+            {"url": pd.Series([], dtype=object), "rank": pd.Series([], dtype="int64")}
+        )
     if distributed is None:
         distributed = n_edges > mem_cutoff
     if not distributed:
@@ -252,7 +260,13 @@ def pagerank(
         sums = msgs.groupby("dst").sum("c")
 
         def apply(t: pa.Table) -> pa.Table:
-            s = t["sum(c)"].combine_chunks().fill_null(0)
+            # empty blocks can lose join-added columns through the hash
+            # shuffle (same guard as customers_without_big_orders): a block
+            # with no matched sums means contribution 0 for every row
+            if "sum(c)" in t.column_names:
+                s = t["sum(c)"].combine_chunks().fill_null(0)
+            else:
+                s = pa.array([0] * len(t), pa.int64())
             new = pc.add(
                 pa.scalar(teleport, pa.int64()),
                 pc.divide(pc.multiply(s, pa.scalar(85, pa.int64())), pa.scalar(100, pa.int64())),
@@ -281,6 +295,10 @@ def _pagerank_numpy(edges, n_iters: int, scale: int):
     import numpy as np
     import pandas as pd
 
+    if len(edges) == 0:
+        return pd.DataFrame(
+            {"url": pd.Series([], dtype=object), "rank": pd.Series([], dtype="int64")}
+        )
     codes, urls = pd.factorize(
         pd.concat([edges["src"], edges["dst"]], ignore_index=True), sort=False
     )

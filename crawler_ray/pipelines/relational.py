@@ -986,20 +986,22 @@ def events_funnel(sf_dir: str, stages=("signup", "click", "purchase")):
         part = part.assign(ts_us=part["ts"].astype("int64"))
         users = part["user_id"].drop_duplicates().sort_values()
         out = pd.DataFrame({"user_id": users.to_numpy()})
-        prev = None  # Series: user_id -> time of previous stage
+        prev = None  # Int64 Series: user_id -> time of previous stage
         for i, s in enumerate(stages):
             sub = part[part["event_type"] == s]
             if prev is not None:
-                # map (not merge): missing prev → NaN, and int > NaN is
-                # False, so users who never reached the prior stage drop out
-                prev_t = sub["user_id"].map(prev).to_numpy()
-                sub = sub[sub["ts_us"].to_numpy() > prev_t]
-            cur = sub.groupby("user_id")["ts_us"].min()
-            mapped = out["user_id"].map(cur)
-            out[f"t_{s}"] = mapped.fillna(-1).astype("int64")
+                # nullable-Int64 lookup, NOT float64+NaN: epoch-µs stays
+                # exact above 2^53, and NA > int is NA → dropped, so users
+                # who never reached the prior stage still fall out
+                prev_t = prev.reindex(sub["user_id"]).array
+                ts = pd.array(sub["ts_us"].to_numpy(), dtype="Int64")
+                sub = sub[(ts > prev_t).to_numpy(dtype=bool, na_value=False)]
+            cur = sub.groupby("user_id")["ts_us"].min().astype("Int64")
+            mapped = cur.reindex(out["user_id"])
+            out[f"t_{s}"] = mapped.fillna(-1).astype("int64").to_numpy()
             # reached = IS NOT NULL (matches the oracle even for pre-epoch
             # timestamps, where the -1 display sentinel would be ambiguous)
-            out[f"_r_{s}"] = mapped.notna()
+            out[f"_r_{s}"] = mapped.notna().to_numpy()
             prev = cur
         reached = out[[f"_r_{s}" for s in stages]].to_numpy().sum(axis=1)
         out = out.drop(columns=[f"_r_{s}" for s in stages])

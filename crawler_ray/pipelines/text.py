@@ -778,7 +778,10 @@ def pii_scrub(sf_dir: str):
 
 def pii_scrub_sql() -> str:
     e, p, i = (rx for _, rx, _ in _PII_PATTERNS)
+    # COALESCE mirrors the engine kernel's fillna('') — a NULL text row must
+    # count/redact as an empty string, not propagate NULL (ADVICE r4)
     return f"""
+    WITH d AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents)
     SELECT doc_id,
            LEN(REGEXP_EXTRACT_ALL(text, '{e}')) AS n_email,
            LEN(REGEXP_EXTRACT_ALL(text, '{p}')) AS n_phone,
@@ -787,7 +790,7 @@ def pii_scrub_sql() -> str:
                '{e}', '<EMAIL>', 'g'),
                '{p}', '<PHONE>', 'g'),
                '{i}', '<IP>', 'g') AS redacted
-    FROM documents
+    FROM d
     """
 
 
@@ -902,7 +905,8 @@ def token_quantiles_sql(qs=_QUANTILES) -> str:
     )
     return f"""
     WITH base AS (
-        SELECT LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> x <> ''))
+        SELECT LEN(LIST_FILTER(STRING_SPLIT_REGEX(COALESCE(text, ''), '\\s+'),
+                               x -> x <> ''))
                AS n_tokens
         FROM documents
     )
@@ -972,7 +976,8 @@ def vocab_stats_sql(top_m: int = 100) -> str:
     return f"""
     WITH toks AS (
         SELECT doc_id,
-               UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
+               UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(COALESCE(text, '')),
+                                                     '\\s+'),
                                   x -> x <> '')) AS tok
         FROM documents
     ), g AS (
@@ -1030,7 +1035,8 @@ def token_quantiles_by_lang_sql(qs=_QUANTILES) -> str:
     return f"""
     WITH base AS (
         SELECT lang,
-               LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> x <> ''))
+               LEN(LIST_FILTER(STRING_SPLIT_REGEX(COALESCE(text, ''), '\\s+'),
+                               x -> x <> ''))
                AS n_tokens
         FROM documents
     )
@@ -1070,10 +1076,13 @@ def normalize_text(sf_dir: str):
 
 
 def normalize_text_sql() -> str:
+    # COALESCE mirrors the engine kernel's fillna('') (ADVICE r4): NULL text
+    # normalizes to '' with changed=0, not NULL norm_text/changed
     return r"""
+    WITH d AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents)
     SELECT doc_id,
            TRIM(REGEXP_REPLACE(LOWER(text), '[ \t\n\r\f\v]+', ' ', 'g'), ' ') AS norm_text,
            CAST(TRIM(REGEXP_REPLACE(LOWER(text), '[ \t\n\r\f\v]+', ' ', 'g'), ' ') <> text
                 AS BIGINT) AS changed
-    FROM documents
+    FROM d
     """

@@ -971,3 +971,62 @@ def test_media_dedup_planted_duplicates(ray_session, tmp_path):
     assert list(out.loc[["m3", "m4"], "representative"]) == ["m2", "m2"]
     assert out.loc[["m3", "m4"], "is_dup"].all()
     assert out.loc["m1", "content_key"] != out.loc["m2", "content_key"]
+
+
+def test_text_oracles_null_text_parity(ray_session, tmp_path):
+    """ADVICE r4: the engine kernels fillna('') but the SQL oracles used raw
+    text — a NULL text row made the SQL side emit NULL norm_text/changed and
+    drop the row from quantile/vocab bases. Plant NULL rows and assert full
+    engine≡oracle parity for every text oracle that touches `text`."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines import text as T
+
+    d = tmp_path / "nulls"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": ["Hello  World", None, "a b c", None],
+                "lang": ["en", "en", "fr", "fr"],
+                "source": ["s"] * 4,
+                "n_chars": [12, 0, 5, 0],
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    sf = str(d)
+    assert_equivalent(T.normalize_text(sf), T.normalize_text_sql(), sf)
+    assert_equivalent(T.pii_scrub(sf), T.pii_scrub_sql(), sf)
+    assert_equivalent(T.token_quantiles(sf), T.token_quantiles_sql(), sf)
+    assert_equivalent(
+        T.token_quantiles_by_lang(sf), T.token_quantiles_by_lang_sql(), sf
+    )
+    assert_equivalent(T.vocab_stats(sf), T.vocab_stats_sql(), sf)
+    # NULL text must normalize to '' with changed=0 (not NULL) on both sides
+    nt = to_df(T.normalize_text(sf)).sort_values("doc_id")
+    assert nt["norm_text"].tolist() == ["hello world", "", "a b c", ""]
+    assert nt["changed"].tolist() == [1, 0, 0, 0]
+
+
+def test_pagerank_empty_graph(ray_session, monkeypatch):
+    """ADVICE r4: an empty link graph used to divide by node count 0 in both
+    the distributed path and the numpy kernel; both must return the empty
+    (url, rank) frame instead."""
+    import pyarrow as pa
+    import ray
+
+    from crawler_ray.pipelines import crawlq as C
+
+    empty = ray.data.from_arrow(
+        pa.table({"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())})
+    )
+    monkeypatch.setattr(C, "corpus_links", lambda sf: empty)
+    for distributed in (None, True, False):
+        out = to_df(C.pagerank("ignored", distributed=distributed))
+        assert len(out) == 0
+        assert list(out.columns) == ["url", "rank"]
+    kern = C._pagerank_numpy(pd.DataFrame({"src": [], "dst": []}), 5, 10**12)
+    assert len(kern) == 0 and list(kern.columns) == ["url", "rank"]
