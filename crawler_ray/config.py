@@ -69,6 +69,33 @@ _AGENT_POOL = (
 )
 
 
+def actor_pool_limits(cores: int | None = None) -> tuple[int, int]:
+    """Cluster-derived ``(min, max)`` actor count for stateful
+    ``map_batches`` pools (lang-id, quality, PII scrub, media decode).
+
+    VERDICT r4 #2: a hard ``(2, 8)`` cap starves these stages on a big
+    cluster while shard counts scale with it. Scaling rule (same spirit as
+    the data-derived shuffle widths in ``pipelines/partitions.py``):
+    ``min = cores // 8``, ``max = cores // 2``, floored at the old
+    ``(2, 8)`` so small nodes — and the 4-cpu test session — keep the
+    proven shape. 32-cpu node → (4, 16); 512-core cluster → (64, 256).
+    Each pool actor is ``num_cpus=1``, so max = cores/2 leaves half the
+    cluster for the surrounding read/shuffle/write stages."""
+    if cores is None:
+        try:
+            import ray
+
+            if ray.is_initialized():
+                cores = int(ray.cluster_resources().get("CPU", 16))
+            else:
+                cores = 16
+        except Exception:
+            cores = 16
+    lo = max(2, cores // 8)
+    hi = max(8, cores // 2)
+    return (lo, max(lo, hi))
+
+
 def resolve_agent(cfg: CrawlConfig) -> str:
     if cfg.agent != "random":
         return cfg.agent

@@ -25,6 +25,8 @@ import pyarrow.compute as pc
 from .dedup import exact_dedup, minhash_pairs
 from .text import QualityScore
 
+from ..config import actor_pool_limits
+
 
 def _clusters_distributed(pairs, max_iters: int = 64):
     """Connected components as DATASET-level min-label propagation — the
@@ -264,7 +266,7 @@ def curate(
     docs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    scored = docs.map_batches(QualityScore, batch_format="pandas", batch_size=4096, concurrency=(2, 8))
+    scored = docs.map_batches(QualityScore, batch_format="pandas", batch_size=4096, concurrency=actor_pool_limits())
 
     def gate(df: pd.DataFrame) -> pd.DataFrame:
         keep = (df["n_tokens"] >= min_tokens) & (df["quality"] > min_quality)

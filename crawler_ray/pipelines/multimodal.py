@@ -24,6 +24,8 @@ from . import partitions
 from .rounding import round_np
 from .crawlq import corpus_for_sf, spec_for_sf  # noqa: E402  (corpus helpers)
 
+from ..config import actor_pool_limits
+
 _FEAT_DIM = 8
 
 
@@ -238,7 +240,7 @@ def media_features(sf_dir: str):
         MediaDecode,
         batch_format="pyarrow",
         batch_size=1024,
-        concurrency=(2, 8),
+        concurrency=actor_pool_limits(),
         num_cpus=1,
     )
 
@@ -460,7 +462,7 @@ def media_vectors(sf_dir: str):
         MediaVec,
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=(2, 8),
+        concurrency=actor_pool_limits(),
         num_cpus=1,
     )
 
@@ -738,7 +740,7 @@ def media_resize(sf_dir: str, target: int = 256):
         fn_constructor_kwargs={"target": target},
         batch_format="pyarrow",
         batch_size=1024,
-        concurrency=(2, 8),
+        concurrency=actor_pool_limits(),
         num_cpus=1,
     )
 
@@ -789,6 +791,6 @@ def media_frames(sf_dir: str, n_frames: int = 4):
         fn_constructor_kwargs={"n_frames": n_frames},
         batch_format="pyarrow",
         batch_size=1024,
-        concurrency=(2, 8),
+        concurrency=actor_pool_limits(),
         num_cpus=1,
     )

@@ -13,6 +13,8 @@ import re
 import numpy as np
 import pandas as pd
 
+from ..config import actor_pool_limits
+
 
 def _read_docs(sf_dir: str, columns=None):
     import ray.data as rd
@@ -52,11 +54,12 @@ def token_stats(sf_dir: str):
 
 def token_stats_sql() -> str:
     return f"""
+    WITH d AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents)
     SELECT doc_id,
            LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> x <> '')) AS n_tokens,
            LEN(regexp_extract_all(text, '{_PIECE_RX}')) AS n_pieces,
            LEN(text) AS n_chars_actual
-    FROM documents
+    FROM d
     """
 
 
@@ -75,7 +78,7 @@ def fingerprints(sf_dir: str):
 
 
 def fingerprints_sql() -> str:
-    return "SELECT doc_id, MD5(text) AS fingerprint FROM documents"
+    return "SELECT doc_id, MD5(COALESCE(text, '')) AS fingerprint FROM documents"
 
 
 # --------------------------------------------------------------------------- #
@@ -145,7 +148,7 @@ class LangId:
 
 def lang_id(sf_dir: str):
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        LangId, batch_format="pandas", batch_size=4096, concurrency=(2, 8)
+        LangId, batch_format="pandas", batch_size=4096, concurrency=actor_pool_limits()
     )
 
 
@@ -164,9 +167,9 @@ def lang_id_sql() -> str:
     return f"""
     WITH base AS (
         SELECT doc_id,
-               LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'), x -> x <> '') AS toks,
-               GREATEST(LEN(text), 1) AS n_chars,
-               LEN(REGEXP_EXTRACT_ALL(text, '[一-鿿]')) AS cjk
+               LIST_FILTER(STRING_SPLIT_REGEX(LOWER(COALESCE(text, '')), '\\s+'), x -> x <> '') AS toks,
+               GREATEST(LEN(COALESCE(text, '')), 1) AS n_chars,
+               LEN(REGEXP_EXTRACT_ALL(COALESCE(text, ''), '[一-鿿]')) AS cjk
         FROM documents
     ), r AS (
         SELECT doc_id, cjk, n_chars,
@@ -250,7 +253,7 @@ class QualityScore:
 
 def quality(sf_dir: str):
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        QualityScore, batch_format="pandas", batch_size=4096, concurrency=(2, 8)
+        QualityScore, batch_format="pandas", batch_size=4096, concurrency=actor_pool_limits()
     )
 
 
@@ -263,8 +266,8 @@ def quality_sql() -> str:
     stoplist = ", ".join(f"'{w}'" for w in sorted(frozenset().union(*_STOPWORDS.values())))
     return f"""
     WITH base AS (
-        SELECT doc_id, text, LEN(text) AS n_chars,
-               LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'), x -> x <> '') AS toks
+        SELECT doc_id, COALESCE(text, '') AS text, LEN(COALESCE(text, '')) AS n_chars,
+               LIST_FILTER(STRING_SPLIT_REGEX(LOWER(COALESCE(text, '')), '\\s+'), x -> x <> '') AS toks
         FROM documents
     ), agg AS (
         SELECT doc_id, n_chars, LEN(toks) AS n_tokens,
@@ -544,7 +547,7 @@ def repetition_stats_sql() -> str:
     return """
     WITH base AS (
         SELECT doc_id,
-               LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'), x -> x <> '') AS toks
+               LIST_FILTER(STRING_SPLIT_REGEX(LOWER(COALESCE(text, '')), '\\s+'), x -> x <> '') AS toks
         FROM documents
     ), nt AS (
         SELECT doc_id, LEN(toks) AS n_tokens FROM base
@@ -772,7 +775,7 @@ class PiiScrub:
 
 def pii_scrub(sf_dir: str):
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        PiiScrub, batch_format="pandas", batch_size=4096, concurrency=(2, 8)
+        PiiScrub, batch_format="pandas", batch_size=4096, concurrency=actor_pool_limits()
     )
 
 

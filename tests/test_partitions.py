@@ -46,3 +46,16 @@ def test_monotone_in_bytes(tmp_path):
     assert 1 <= n_small <= P.cluster_cap()
     # formula is a ceil-divide: more bytes can never mean fewer partitions
     assert P.for_bytes(10 * P.TARGET_JOIN_BYTES, P.TARGET_JOIN_BYTES) >= n_small
+
+
+def test_actor_pool_limits_derivation():
+    """VERDICT r4 #2: stateful actor-pool caps scale with the cluster instead
+    of a hard (2, 8). Floors keep small nodes on the proven shape."""
+    from crawler_ray.config import actor_pool_limits
+
+    assert actor_pool_limits(cores=4) == (2, 8)     # test session shape
+    assert actor_pool_limits(cores=16) == (2, 8)    # old default preserved
+    assert actor_pool_limits(cores=32) == (4, 16)
+    assert actor_pool_limits(cores=512) == (64, 256)
+    lo, hi = actor_pool_limits()  # cluster-derived path: sane and ordered
+    assert 2 <= lo <= hi

@@ -1005,6 +1005,12 @@ def test_text_oracles_null_text_parity(ray_session, tmp_path):
         T.token_quantiles_by_lang(sf), T.token_quantiles_by_lang_sql(), sf
     )
     assert_equivalent(T.vocab_stats(sf), T.vocab_stats_sql(), sf)
+    # the older text oracles share the same fillna('') kernel convention
+    assert_equivalent(T.token_stats(sf), T.token_stats_sql(), sf)
+    assert_equivalent(T.fingerprints(sf), T.fingerprints_sql(), sf)
+    assert_equivalent(T.lang_id(sf), T.lang_id_sql(), sf)
+    assert_equivalent(T.quality(sf), T.quality_sql(), sf)
+    assert_equivalent(T.repetition_stats(sf), T.repetition_stats_sql(), sf)
     # NULL text must normalize to '' with changed=0 (not NULL) on both sides
     nt = to_df(T.normalize_text(sf)).sort_values("doc_id")
     assert nt["norm_text"].tolist() == ["hello world", "", "a b c", ""]
