@@ -620,6 +620,23 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, dump_artifacts: bool = Fals
 
 
 # --------------------------------------------------------------------------- #
+def _embedding_dim(path: str) -> int:
+    """Vector dimension via a one-batch parquet probe: decodes a single
+    column chunk of the first row group — O(row group), not O(table), and
+    entirely driver-side (no Dataset execution). A fixed_size_list schema
+    would answer from metadata alone; the fixtures use list<float>."""
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    t = schema.field("embedding").type
+    if pa.types.is_fixed_size_list(t):
+        return t.list_size
+    batch = next(
+        pq.ParquetFile(path).iter_batches(batch_size=1, columns=["embedding"])
+    )
+    return len(batch.column(0)[0])
+
+
 def embedding_dup_pairs(
     sf_dir: str,
     threshold: float = 0.9,
@@ -643,8 +660,13 @@ def embedding_dup_pairs(
 
     ds = rd.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    ).materialize()
-    dim = len(ds.take(1)[0]["embedding"])
+    )
+    # probe the vector dimension from ONE row of the parquet itself (the
+    # column is variable-length list<float>, so it isn't in the schema) —
+    # never materialize the table for a metadata question (VERDICT r4 #3):
+    # at 10^10 vectors the old full-table materialize() pinned everything
+    # in the object store; the lazy ds now streams single-consumer per pass
+    dim = _embedding_dim(os.path.join(sf_dir, "embeddings.parquet"))
     planes = np.random.default_rng(42).standard_normal((n_tables, dim, n_planes))
 
     def bucketize(t: pa.Table) -> pa.Table:
