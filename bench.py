@@ -350,11 +350,17 @@ def query_suite() -> dict:
     return out
 
 
-def extra_query_suite() -> dict:
+def extra_query_suite(warm: bool = True) -> tuple[dict, float]:
     """Timings for the wider training-data family (near-dup variants,
     curation, partitioned-store ANN, text scoring, media decode). Runs
     AFTER the headline total is closed so `value` stays comparable to the
-    BASELINE ranges folded from the original 14-query suite."""
+    BASELINE ranges folded from the original 14-query suite.
+
+    VERDICT r4 #4: a first call pays one-time session costs (ANN store
+    builds, artifact dumps, media blob synthesis, module imports) that a
+    standing cluster amortizes — so the suite runs one UNTIMED warmup pass
+    first and reports steady-state per-op timings from the second pass.
+    Returns (timings, warmup_sec)."""
     from crawler_ray.pipelines import crawlq as C
     from crawler_ray.pipelines import curate as Cu
     from crawler_ray.pipelines import dedup as D
@@ -372,8 +378,7 @@ def extra_query_suite() -> dict:
             return len(x.to_pandas())
         return len(x)
 
-    out = {}
-    for name, fn in [
+    ops = [
         ("quality", T.quality),
         ("lang_id", T.lang_id),
         ("repetition_stats", T.repetition_stats),
@@ -395,11 +400,25 @@ def extra_query_suite() -> dict:
         ("stratified_sample", Cu.stratified_sample),
         ("events_funnel", R.events_funnel),
         ("pagerank", C.pagerank),
-    ]:
+    ]
+    warm_sec = 0.0
+    if warm:
         t0 = time.time()
-        consume(fn(SF_DIR))
-        out[name] = round(time.time() - t0, 3)
-    return out
+        for _, fn in ops:
+            consume(fn(SF_DIR))
+        warm_sec = round(time.time() - t0, 3)
+    # min-of-2 timed passes: same discipline as crawl_e2e's min-of-3 — this
+    # box's background load swings sub-second ops by ±2×; the min is the
+    # steady-state reading
+    out: dict = {}
+    for _ in range(2):
+        for name, fn in ops:
+            t0 = time.time()
+            consume(fn(SF_DIR))
+            dt = round(time.time() - t0, 3)
+            if name not in out or dt < out[name]:
+                out[name] = dt
+    return out, warm_sec
 
 
 def main_full():
@@ -416,10 +435,10 @@ def main_full():
     dedup = dedup_microbench()
     queries = query_suite()
     total = round(time.time() - t_all, 3)
-    # non-headline extras: timed outside `value` (BASELINE range comparability)
-    t_ex = time.time()
-    extras = extra_query_suite()
-    extra_sec = round(time.time() - t_ex, 3)
+    # non-headline extras: timed outside `value` (BASELINE range
+    # comparability); warmup pass separated per VERDICT r4 #4
+    extras, extra_warmup_sec = extra_query_suite()
+    extra_sec = round(sum(extras.values()), 3)
     print(
         json.dumps(
             {
@@ -429,6 +448,7 @@ def main_full():
                 "queries": queries,
                 "extra_queries": extras,
                 "extra_sec": extra_sec,
+                "extra_warmup_sec": extra_warmup_sec,
                 "sf": SF_DIR,
                 "num_cpus": NUM_CPUS,
                 "crawl_pages_per_sec": crawl["pages_per_sec"],
