@@ -25,19 +25,59 @@ from ..state.seen import fold_urls, stable_hash64
 _MAX_MSG = 262_144  # cap rows per actor message (bounds serialization spikes)
 
 
+def claim_harvest_small(
+    handles: list, n_shards: int, batch: pa.Table, crawl_id: str, next_round: int
+) -> list:
+    """Coordinator-path fused claim+harvest: route ONE combined candidate
+    batch to its owning shards and get each shard's novel FRONTIER rows back
+    in the SAME actor call (VERDICT r4 #5 — halves the per-round actor
+    round-trips vs claim-wave + harvest-wave, and shards with no candidates
+    this round are never called at all: their pending set is necessarily
+    empty). Oversized shard slices send plain ``claim`` for all but the last
+    chunk — actor tasks from one caller execute in submission order, so the
+    fused final chunk still harvests after every claim. Returns the novel
+    frontier tables (driver-side list; one bounded table per touched
+    shard)."""
+    import ray
+
+    if len(batch) == 0:
+        return []
+    urls = batch.column("dst").combine_chunks().to_numpy(zero_copy_only=False)
+    packs = batch.column("pack").combine_chunks().to_numpy(zero_copy_only=False)
+    keys = fold_urls(urls)
+    shard = (stable_hash64(keys) % n_shards).astype(np.int64)
+    refs = []
+    for s in np.unique(shard):
+        pos = np.flatnonzero(shard == s)
+        h = handles[int(s)]
+        for i in range(0, len(pos), _MAX_MSG):
+            chunk = pos[i : i + _MAX_MSG]
+            if i + _MAX_MSG >= len(pos):
+                refs.append(
+                    h.claim_and_harvest.remote(
+                        urls[chunk], packs[chunk], crawl_id, next_round, keys[chunk]
+                    )
+                )
+            else:
+                refs.append(h.claim.remote(urls[chunk], packs[chunk], keys[chunk]))
+    out = ray.get(refs)
+    return [t for t in out if isinstance(t, pa.Table) and t.num_rows]
+
+
 def make_claim_fn(handles: list, n_shards: int):
     import ray
 
     def claim_batch(batch: pa.Table) -> pa.Table:
         n = len(batch)
         if n == 0:
-            return pa.table({"claimed": pa.array([0], pa.int64())})
+            return pa.table({"shard": pa.array([], pa.int64())})
         urls = batch.column("dst").combine_chunks().to_numpy(zero_copy_only=False)
         packs = batch.column("pack").combine_chunks().to_numpy(zero_copy_only=False)
         keys = fold_urls(urls)  # fold ONCE: routing hash + shard membership
         shard = (stable_hash64(keys) % n_shards).astype(np.int64)
         refs = []
-        for s in np.unique(shard):
+        touched = np.unique(shard)
+        for s in touched:
             pos = np.flatnonzero(shard == s)
             for i in range(0, len(pos), _MAX_MSG):
                 chunk = pos[i : i + _MAX_MSG]
@@ -47,6 +87,8 @@ def make_claim_fn(handles: list, n_shards: int):
                     handles[int(s)].claim.remote(urls[chunk], packs[chunk], keys[chunk])
                 )
         ray.get(refs)
-        return pa.table({"claimed": pa.array([n], pa.int64())})
+        # emit the shard ids this batch claimed into: the engine harvests
+        # only the union of touched shards (sparse late rounds skip the rest)
+        return pa.table({"shard": pa.array(touched, pa.int64())})
 
     return claim_batch

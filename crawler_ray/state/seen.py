@@ -301,6 +301,18 @@ class SeenShard:
             schema=schemas.FRONTIER,
         )
 
+    def claim_and_harvest(
+        self, urls, packs, crawl_id: str, next_round: int, keys=None
+    ):
+        """Fused claim + harvest — ONE actor round-trip for the coordinator
+        path's final (or only) claim message to this shard (VERDICT r4 #5:
+        claim then harvest as two sequential `ray.get` waves was ~55% of
+        crawl wall). Safe whenever the caller knows this is the shard's last
+        claim of the round — the coordinator path routes a single combined
+        batch, so every shard gets exactly one message."""
+        self.claim(urls, packs, keys)
+        return self.harvest(crawl_id, next_round)
+
     def size(self) -> int:
         return len(self.exact) if self.exact is not None else self.filter.count
 
