@@ -70,6 +70,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact binary dedup by content hash (the 100 TB image-dedup primitive)
         "media_dedup": M.media_dedup,
         "embed_clusters": S.embed_clusters,
+        # weighted source×lang data mixing (new r5) — also ahead of the
+        # long-stable block so it lands inside any driver row cap
+        "stratified_mix": _lazy("crawler_ray.pipelines.curate", "stratified_mix"),
         # relational operators (SURVEY §2.2/2.4/2.5/2.6/2.7)
         "q1_pricing_summary": R.q1_pricing_summary,
         "filter_project": R.filter_project,
@@ -169,6 +172,7 @@ def oracle_sql() -> dict[str, str]:
         "media_ann": _media_sql("media_ann_sql"),
         "media_dedup": _media_sql("media_dedup_sql"),
         "embed_clusters": S.embed_clusters_sql(_SF_ORACLE),
+        "stratified_mix": CU.stratified_mix_sql(),
         "q1_pricing_summary": R.q1_sql(),
         "filter_project": R.filter_project_sql(),
         "segment_revenue": R.segment_revenue_sql(),

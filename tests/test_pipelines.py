@@ -1056,3 +1056,53 @@ def test_embedding_dim_probe(tmp_path):
     arr = pa.FixedSizeListArray.from_arrays(pa.array([1.0] * 8, pa.float32()), 4)
     pq.write_table(pa.table({"vec_id": [0, 1], "embedding": arr}), p2)
     assert _embedding_dim(p2) == 4
+
+
+def test_stratified_mix_oracle_and_precedence(ray_session):
+    """source×lang weighted mixing (VERDICT r4 #8): oracle parity on the sf
+    fixture, plus pinned precedence exact > source/* > */lang > keep-all."""
+    from crawler_ray.pipelines.curate import (
+        _MIX_BUCKETS,
+        _mix_thresholds,
+        stratified_mix,
+        stratified_mix_sql,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    assert_equivalent(stratified_mix(sf), stratified_mix_sql(), sf)
+
+    exact, by_source, by_lang = _mix_thresholds(
+        {"s/en": 0.1, "s/*": 0.5, "*/en": 0.9}
+    )
+    assert exact == {"s/en": int(0.1 * _MIX_BUCKETS)}
+    assert by_source == {"s": int(0.5 * _MIX_BUCKETS)}
+    assert by_lang == {"en": int(0.9 * _MIX_BUCKETS)}
+
+    # precedence on real data: a source/lang stratum with an exact 0.0 rate
+    # drops fully even when broader wildcards would keep it
+    got = to_df(
+        stratified_mix(sf, rates={"src0/en": 0.0, "src0/*": 1.0, "*/en": 1.0})
+    )
+    assert not len(got[(got["source"] == "src0") & (got["lang"] == "en")])
+    assert len(got[(got["source"] == "src0") & (got["lang"] != "en")])
+    assert len(got[(got["source"] != "src0") & (got["lang"] == "en")])
+
+
+def test_stratified_mix_stable_across_partitionings(ray_session, tmp_path):
+    """Same run-invariance claim as stratified_sample: membership is a pure
+    function of doc_id and the stratum rate."""
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.curate import stratified_mix
+
+    sf = "/root/testdata/sf0.001"
+    base = to_df(stratified_mix(sf)).sort_values("doc_id").reset_index(drop=True)
+    t = pq.read_table(f"{sf}/documents.parquet")
+    rng = np.random.default_rng(5)
+    d = tmp_path / "shuffled_mix"
+    d.mkdir()
+    pq.write_table(
+        t.take(rng.permutation(len(t))), str(d / "documents.parquet"), row_group_size=41
+    )
+    got = to_df(stratified_mix(str(d))).sort_values("doc_id").reset_index(drop=True)
+    assert got.equals(base)
