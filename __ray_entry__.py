@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # weighted source×lang data mixing (new r5) — also ahead of the
         # long-stable block so it lands inside any driver row cap
         "stratified_mix": _lazy("crawler_ray.pipelines.curate", "stratified_mix"),
+        # metadata-filtered vector search (new r5): per-query label slice
+        "ann_filtered": S.ann_filtered,
         # relational operators (SURVEY §2.2/2.4/2.5/2.6/2.7)
         "q1_pricing_summary": R.q1_pricing_summary,
         "filter_project": R.filter_project,
@@ -173,6 +175,7 @@ def oracle_sql() -> dict[str, str]:
         "media_dedup": _media_sql("media_dedup_sql"),
         "embed_clusters": S.embed_clusters_sql(_SF_ORACLE),
         "stratified_mix": CU.stratified_mix_sql(),
+        "ann_filtered": S.ann_filtered_sql(),
         "q1_pricing_summary": R.q1_sql(),
         "filter_project": R.filter_project_sql(),
         "segment_revenue": R.segment_revenue_sql(),

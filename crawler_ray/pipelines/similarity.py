@@ -98,6 +98,112 @@ def ann_bruteforce_sql(n_queries: int = 5, k: int = 10) -> str:
     """
 
 
+def ann_filtered(sf_dir: str, n_queries: int = 5, k: int = 10):
+    """Metadata-FILTERED exact cosine top-k: each query retrieves only among
+    vectors sharing its ``label`` — the filtered-vector-search primitive a
+    curation pipeline needs ("nearest neighbours within this source /
+    license / language slice"). Filtering happens INSIDE the scoring batch
+    (one boolean mask per (query-label, batch) group before the matmul), so
+    the pruned rows never enter the O(nq × batch) score matrix; at 100 TB
+    pair this with a label-partitioned store (the ``ensure_ivf_index``
+    pattern) so the filter also prunes I/O, not just compute.
+
+    Scale shape: identical to :func:`ann_bruteforce` — broadcast query
+    matrix via ``ray.put``, per-batch partial top-k (≤ k rows per query per
+    batch cross the wire), final exact per-query selection."""
+    import duckdb
+    import ray
+
+    q = duckdb.sql(
+        f"SELECT vec_id, embedding, label FROM "
+        f"read_parquet('{os.path.join(sf_dir, 'embeddings.parquet')}') "
+        f"ORDER BY vec_id LIMIT {n_queries}"
+    ).arrow()
+    qids = q["vec_id"].to_numpy()
+    qlabels = q["label"].to_numpy()
+    qm = _normalize(
+        np.asarray(q["embedding"].combine_chunks().values, dtype=np.float64).reshape(
+            len(qids), -1
+        )
+    )
+    ref = ray.put((qids, qlabels, qm))
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        qids_, qlabels_, qm_ = ray.get(ref)
+        x = _normalize(_as_matrix(t))
+        ids = t["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        labels = t["label"].combine_chunks().to_numpy(zero_copy_only=False)
+        out_q, out_v, out_s, out_l = [], [], [], []
+        # group queries by label: one masked matmul per DISTINCT query label
+        # present (labels are low-cardinality metadata, so this is a handful
+        # of dense matmuls, not a per-query loop over rows)
+        for lab in np.unique(qlabels_):
+            sub = labels == lab
+            if not sub.any():
+                continue
+            qsel = np.flatnonzero(qlabels_ == lab)
+            scores = qm_[qsel] @ x[sub].T  # (nq_lab, n_sub)
+            sub_ids = ids[sub]
+            kk = min(k, scores.shape[1])
+            top = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            out_q.append(np.repeat(qids_[qsel], kk))
+            out_l.append(np.repeat(qlabels_[qsel], kk))
+            out_v.append(sub_ids[top.reshape(-1)])
+            out_s.append(
+                round_np(np.take_along_axis(scores, top, axis=1).reshape(-1), 6)
+            )
+        if not out_q:
+            return pa.table(
+                {
+                    "qid": pa.array([], pa.int64()),
+                    "label": pa.array([], pa.int32()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "qid": np.concatenate(out_q),
+                "label": np.concatenate(out_l),
+                "vec_id": np.concatenate(out_v),
+                "score": np.concatenate(out_s),
+            }
+        )
+
+    import ray.data as rd  # noqa: F401  (parallel read below)
+
+    cands = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+    ).map_batches(score_batch, batch_format="pyarrow", batch_size=8192)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[["qid", "label", "vec_id", "rank", "score"]]
+
+    return cands.groupby("qid").map_groups(final_topk, batch_format="pandas")
+
+
+def ann_filtered_sql(n_queries: int = 5, k: int = 10) -> str:
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe, label
+        FROM embeddings ORDER BY vec_id LIMIT {n_queries}
+    ),
+    scored AS (
+        SELECT q.qid, q.label, e.vec_id,
+               ROUND(LIST_COSINE_SIMILARITY(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS score
+        FROM q JOIN embeddings e ON e.label = q.label
+    )
+    SELECT qid, label, vec_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rank,
+           score
+    FROM scored
+    QUALIFY rank <= {k}
+    """
+
+
 def _lsh_planes(dim: int, n_planes: int) -> np.ndarray:
     """Fixed-seed hyperplanes — deterministic for a (dim, n_planes) pair, so
     the build pass, the query path and the recall tests all agree without

@@ -1106,3 +1106,21 @@ def test_stratified_mix_stable_across_partitionings(ray_session, tmp_path):
     )
     got = to_df(stratified_mix(str(d))).sort_values("doc_id").reset_index(drop=True)
     assert got.equals(base)
+
+
+def test_ann_filtered_oracle_and_semantics(ray_session):
+    """Filtered vector search: per-query top-k restricted to the query's
+    label slice — oracle parity plus the slice-purity invariant."""
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.similarity import ann_filtered, ann_filtered_sql
+
+    sf = "/root/testdata/sf0.001"
+    assert_equivalent(ann_filtered(sf), ann_filtered_sql(), sf)
+    got = to_df(ann_filtered(sf))
+    emb = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "label"]).to_pandas()
+    lab = dict(zip(emb["vec_id"], emb["label"]))
+    # every hit shares its query's label, and the query itself (cos=1) ranks first
+    assert all(lab[v] == l for v, l in zip(got["vec_id"], got["label"]))
+    firsts = got[got["rank"] == 1]
+    assert (firsts["vec_id"].to_numpy() == firsts["qid"].to_numpy()).all()
