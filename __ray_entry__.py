@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_mix": _lazy("crawler_ray.pipelines.curate", "stratified_mix"),
         # metadata-filtered vector search (new r5): per-query label slice
         "ann_filtered": S.ann_filtered,
+        # CCNet-style unigram-LM perplexity scoring (new r5)
+        "unigram_logprob": T.unigram_logprob,
         # relational operators (SURVEY §2.2/2.4/2.5/2.6/2.7)
         "q1_pricing_summary": R.q1_pricing_summary,
         "filter_project": R.filter_project,
@@ -176,6 +178,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_clusters": S.embed_clusters_sql(_SF_ORACLE),
         "stratified_mix": CU.stratified_mix_sql(),
         "ann_filtered": S.ann_filtered_sql(),
+        "unigram_logprob": T.unigram_logprob_sql(),
         "q1_pricing_summary": R.q1_sql(),
         "filter_project": R.filter_project_sql(),
         "segment_revenue": R.segment_revenue_sql(),

@@ -992,6 +992,106 @@ def vocab_stats_sql(top_m: int = 100) -> str:
     """
 
 
+# --------------------------------------------------------------------------- #
+def unigram_logprob(sf_dir: str):
+    """CCNet-style language-model quality signal: train a unigram LM on the
+    corpus (one distributed counting pass), then score every document by
+    its mean token log-probability ``mean(ln(count(tok)/total))`` — the
+    perplexity-filtering primitive (docs of rare/garbled tokens score low,
+    fluent docs score high; perplexity = exp(-logprob)).
+
+    Scale shape: pass 1 is the :func:`vocab_stats` combiner (per-batch
+    partial counts, one grouped sum); the resulting LM table is broadcast
+    ONCE via ``ray.put`` and looked up inside pass 2's batches — no shuffle
+    joins the corpus to the vocabulary. At 100 TB cap the LM at top-M
+    tokens and smooth the tail into the OOV bucket (the kernel already
+    routes unseen tokens to ``ln(1/total)``); here the full vocab is kept
+    so the oracle is exact."""
+    import ray
+    import ray.data as rd
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df["text"].fillna("").str.lower().str.split().explode()
+        ex = ex[ex.notna()]
+        if not len(ex):
+            return pd.DataFrame(
+                {
+                    "tok": pd.Series([], dtype="string"),
+                    "tf": pd.Series([], dtype="int64"),
+                }
+            )
+        g = ex.groupby(ex.to_numpy(), sort=False).size()
+        return pd.DataFrame(
+            {"tok": g.index.to_numpy(), "tf": g.to_numpy().astype("int64")}
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=8192)
+        .groupby("tok")
+        .sum("tf")
+        .to_pandas()  # bounded by vocabulary size (top-M capped at scale)
+    )
+    total = float(counts["sum(tf)"].sum())
+    logp = dict(
+        zip(counts["tok"].to_numpy(), np.log(counts["sum(tf)"].to_numpy() / total))
+    )
+    oov = np.log(1.0 / total) if total else 0.0
+    ref = ray.put((logp, oov))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        lp, oov_ = ray.get(ref)
+        df = df.reset_index(drop=True)
+        ex = df["text"].fillna("").str.lower().str.split().explode()
+        ex = ex[ex.notna()]
+        from .rounding import round_np
+
+        if len(ex):
+            vals = ex.map(lp).fillna(oov_)
+            g = vals.groupby(level=0)
+            mean = g.mean().reindex(df.index)
+            n = g.size().reindex(df.index, fill_value=0)
+        else:
+            mean = pd.Series(np.nan, index=df.index)
+            n = pd.Series(0, index=df.index)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_tokens": n.to_numpy().astype("int64"),
+                "logprob": round_np(mean.fillna(0.0).to_numpy(), 6),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas", batch_size=8192)
+
+
+def unigram_logprob_sql() -> str:
+    """Oracle: the same unigram LM recomputed in SQL — AVG(LN(tf/total))
+    per doc over the identical whitespace/lowercase tokenization (empty or
+    NULL docs score 0.0 with 0 tokens)."""
+    return r"""
+    WITH d AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+    toks AS (
+        SELECT doc_id,
+               UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'),
+                                  x -> x <> '')) AS tok
+        FROM d
+    ),
+    cnt AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks),
+    per_doc AS (
+        SELECT t.doc_id, COUNT(*) AS n_toks,
+               AVG(LN(cnt.c / (SELECT n FROM tot))) AS mean_lp
+        FROM toks t JOIN cnt USING (tok) GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_toks, 0) AS BIGINT) AS n_tokens,
+           ROUND(COALESCE(p.mean_lp, 0.0), 6) AS logprob
+    FROM d LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
 def token_quantiles_by_lang(sf_dir: str, qs=_QUANTILES) -> pd.DataFrame:
     """GROUPED exact quantiles: the token-length distribution audit per
     language — same sortless histogram shape as :func:`token_quantiles`,

@@ -1124,3 +1124,36 @@ def test_ann_filtered_oracle_and_semantics(ray_session):
     assert all(lab[v] == l for v, l in zip(got["vec_id"], got["label"]))
     firsts = got[got["rank"] == 1]
     assert (firsts["vec_id"].to_numpy() == firsts["qid"].to_numpy()).all()
+
+
+def test_unigram_logprob_oracle_and_semantics(ray_session, tmp_path):
+    """Perplexity-style LM scoring: oracle parity on the sf fixture AND a
+    planted check — a document of corpus-common tokens must out-score one
+    of rare/garbled tokens; empty and NULL docs score 0.0 with 0 tokens."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.text import unigram_logprob, unigram_logprob_sql
+
+    sf = "/root/testdata/sf0.001"
+    assert_equivalent(unigram_logprob(sf), unigram_logprob_sql(), sf)
+
+    d = tmp_path / "lm"
+    d.mkdir()
+    texts = [
+        "the cat sat on the mat",
+        "the cat sat on the mat",
+        "the cat sat on the mat again",
+        "zqxj vvkw pplm qrrt",  # garbled: every token unique
+        "",
+        None,
+    ]
+    pq.write_table(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts}),
+        str(d / "documents.parquet"),
+    )
+    assert_equivalent(unigram_logprob(str(d)), unigram_logprob_sql(), str(d))
+    got = to_df(unigram_logprob(str(d))).sort_values("doc_id").reset_index(drop=True)
+    assert got.loc[0, "logprob"] > got.loc[3, "logprob"]  # fluent ≫ garbled
+    assert got.loc[4, "n_tokens"] == 0 and got.loc[4, "logprob"] == 0.0
+    assert got.loc[5, "n_tokens"] == 0 and got.loc[5, "logprob"] == 0.0
