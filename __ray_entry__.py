@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_filtered": S.ann_filtered,
         # CCNet-style unigram-LM perplexity scoring (new r5)
         "unigram_logprob": T.unigram_logprob,
+        # GPT-style sequence packing via distributed prefix sum (new r5)
+        "pack_sequences": _lazy("crawler_ray.pipelines.curate", "pack_sequences"),
         # relational operators (SURVEY §2.2/2.4/2.5/2.6/2.7)
         "q1_pricing_summary": R.q1_pricing_summary,
         "filter_project": R.filter_project,
@@ -179,6 +181,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_mix": CU.stratified_mix_sql(),
         "ann_filtered": S.ann_filtered_sql(),
         "unigram_logprob": T.unigram_logprob_sql(),
+        "pack_sequences": CU.pack_sequences_sql(),
         "q1_pricing_summary": R.q1_sql(),
         "filter_project": R.filter_project_sql(),
         "segment_revenue": R.segment_revenue_sql(),

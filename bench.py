@@ -398,6 +398,9 @@ def extra_query_suite(warm: bool = True) -> tuple[dict, float]:
         ("vocab_stats", T.vocab_stats),
         ("normalize_text", T.normalize_text),
         ("stratified_sample", Cu.stratified_sample),
+        ("stratified_mix", Cu.stratified_mix),
+        ("ann_filtered", S.ann_filtered),
+        ("unigram_logprob", T.unigram_logprob),
         ("events_funnel", R.events_funnel),
         ("pagerank", C.pagerank),
     ]

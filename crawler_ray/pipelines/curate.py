@@ -654,3 +654,87 @@ def stratified_mix_sql(rates: dict | None = None) -> str:
         {case("lang", by_lang)},
         {_MIX_BUCKETS})
     """
+
+
+# --------------------------------------------------------------------------- #
+def pack_sequences(sf_dir: str, capacity: int = 4096):
+    """Sequence packing for training (GPT-style document concatenation):
+    lay the corpus out as one deterministic stream in ``doc_id`` order and
+    assign every document to the fixed-size bin its START offset falls in —
+    ``bin = start // capacity`` where ``start`` is the exclusive prefix sum
+    of ``n_chars`` (swap in a token count column for token-budget packing).
+
+    Scale shape — the distributed PREFIX-SUM pattern: after a range sort on
+    ``doc_id``, pass 1 collects one (first_doc_id, block_total) row PER
+    BLOCK (bounded driver collect: rows = block count, never data), the
+    driver turns them into exclusive per-block offsets, and pass 2 re-maps
+    the same materialized blocks adding a local cumsum to the broadcast
+    offset. Two passes, no shuffle beyond the sort, and the result is
+    independent of block layout (pinned by test)."""
+    import os
+
+    import ray.data as rd
+
+    ds = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+        )
+        .sort("doc_id")
+        .materialize()  # pass 1 and pass 2 must see the SAME block layout
+    )
+
+    def block_stat(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"first_id": pa.array([], pa.int64()), "tot": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "first_id": pa.array([t["doc_id"][0].as_py()], pa.int64()),
+                "tot": pa.array([int(pc.sum(t["n_chars"]).as_py())], pa.int64()),
+            }
+        )
+
+    stats = sorted(
+        (
+            (int(r["first_id"]), int(r["tot"]))
+            for r in ds.map_batches(
+                block_stat, batch_format="pyarrow", batch_size=None
+            ).take_all()
+        )
+    )
+    offsets: dict[int, int] = {}
+    run = 0
+    for first_id, tot in stats:
+        offsets[first_id] = run
+        run += tot
+
+    def assign(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_chars": pa.array([], pa.int64()),
+                    "bin": pa.array([], pa.int64()),
+                }
+            )
+        n = t["n_chars"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        start = offsets[t["doc_id"][0].as_py()] + np.cumsum(n) - n
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks(),
+                "n_chars": pa.array(n),
+                "bin": pa.array(start // capacity),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+def pack_sequences_sql(capacity: int = 4096) -> str:
+    return f"""
+    SELECT doc_id, n_chars,
+           CAST((SUM(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                 - n_chars) // {capacity} AS BIGINT) AS bin
+    FROM documents
+    """

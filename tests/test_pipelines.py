@@ -1157,3 +1157,31 @@ def test_unigram_logprob_oracle_and_semantics(ray_session, tmp_path):
     assert got.loc[0, "logprob"] > got.loc[3, "logprob"]  # fluent ≫ garbled
     assert got.loc[4, "n_tokens"] == 0 and got.loc[4, "logprob"] == 0.0
     assert got.loc[5, "n_tokens"] == 0 and got.loc[5, "logprob"] == 0.0
+
+
+def test_pack_sequences_oracle_and_layout_invariance(ray_session, tmp_path):
+    """Sequence packing (distributed prefix sum): oracle parity, bin
+    monotonicity in stream order, and invariance to input block layout —
+    the two-pass offset computation must give identical bins however the
+    parquet is row-grouped or ordered."""
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.curate import pack_sequences, pack_sequences_sql
+
+    sf = "/root/testdata/sf0.001"
+    assert_equivalent(pack_sequences(sf), pack_sequences_sql(), sf)
+    got = to_df(pack_sequences(sf)).sort_values("doc_id").reset_index(drop=True)
+    # bins are non-decreasing along the stream and recompute from scratch
+    assert (np.diff(got["bin"].to_numpy()) >= 0).all()
+    start = np.cumsum(got["n_chars"].to_numpy()) - got["n_chars"].to_numpy()
+    assert (got["bin"].to_numpy() == start // 4096).all()
+
+    t = pq.read_table(f"{sf}/documents.parquet")
+    rng = np.random.default_rng(9)
+    d = tmp_path / "repacked"
+    d.mkdir()
+    pq.write_table(
+        t.take(rng.permutation(len(t))), str(d / "documents.parquet"), row_group_size=29
+    )
+    again = to_df(pack_sequences(str(d))).sort_values("doc_id").reset_index(drop=True)
+    assert again.equals(got)
