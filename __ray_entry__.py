@@ -79,6 +79,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob": T.unigram_logprob,
         # GPT-style sequence packing via distributed prefix sum (new r5)
         "pack_sequences": _lazy("crawler_ray.pipelines.curate", "pack_sequences"),
+        # conditional bigram-LM perplexity (new r5)
+        "bigram_logprob": T.bigram_logprob,
         # relational operators (SURVEY §2.2/2.4/2.5/2.6/2.7)
         "q1_pricing_summary": R.q1_pricing_summary,
         "filter_project": R.filter_project,
@@ -182,6 +184,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_filtered": S.ann_filtered_sql(),
         "unigram_logprob": T.unigram_logprob_sql(),
         "pack_sequences": CU.pack_sequences_sql(),
+        "bigram_logprob": T.bigram_logprob_sql(),
         "q1_pricing_summary": R.q1_sql(),
         "filter_project": R.filter_project_sql(),
         "segment_revenue": R.segment_revenue_sql(),

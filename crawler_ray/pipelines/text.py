@@ -1092,6 +1092,141 @@ def unigram_logprob_sql() -> str:
     """
 
 
+def bigram_logprob(sf_dir: str):
+    """Conditional bigram-LM scoring — the stronger perplexity signal:
+    ``mean over bigram positions of ln(c(w1,w2) / c(w1,·))`` where both
+    counts come from one distributed bigram-counting pass over the corpus
+    (c(w1,·) = bigrams starting with w1, so the per-position term is the
+    exact conditional log-probability P(w2|w1) under the corpus MLE).
+
+    Scale shape: same as :func:`unigram_logprob` — per-batch vectorized
+    bigram partials (explode + grouped shift, no Python loop over rows),
+    one grouped sum, LM broadcast once via ``ray.put``; cap the bigram
+    table at top-M with an OOV bucket at 100 TB. Docs with < 2 tokens score
+    0.0 with 0 bigrams (matches the oracle's COALESCE)."""
+    import ray
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def _bigrams(df: pd.DataFrame) -> pd.DataFrame:
+        """(w1, w2) rows for every adjacent token pair, batch-vectorized."""
+        df = df.reset_index(drop=True)
+        ex = df["text"].fillna("").str.lower().str.split().explode()
+        ex = ex[ex.notna()]
+        if not len(ex):
+            return pd.DataFrame(
+                {
+                    "w1": pd.Series([], dtype="string"),
+                    "w2": pd.Series([], dtype="string"),
+                }
+            )
+        w2 = ex.groupby(level=0).shift(-1)  # next token within the same doc
+        keep = w2.notna()
+        return pd.DataFrame(
+            {"w1": ex[keep].to_numpy(), "w2": w2[keep].to_numpy()}
+        )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        big = _bigrams(df)
+        if not len(big):
+            return pd.DataFrame(
+                {
+                    "w1": pd.Series([], dtype="string"),
+                    "w2": pd.Series([], dtype="string"),
+                    "c": pd.Series([], dtype="int64"),
+                }
+            )
+        g = big.groupby(["w1", "w2"], sort=False).size()
+        out = g.reset_index()
+        out.columns = ["w1", "w2", "c"]
+        return out.astype({"c": "int64"})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=8192)
+        .groupby(["w1", "w2"])
+        .sum("c")
+        .to_pandas()  # bounded by bigram vocabulary (top-M capped at scale)
+    )
+    # tokens are whitespace-split, so ' ' can never occur inside one —
+    # a space-joined key is collision-free
+    bkey = counts["w1"].astype(str) + " " + counts["w2"].astype(str)
+    bcount = dict(zip(bkey, counts["sum(c)"].astype(float)))
+    pcount = counts.groupby("w1", sort=False)["sum(c)"].sum()
+    pcount = dict(zip(pcount.index.astype(str), pcount.astype(float)))
+    ref = ray.put((bcount, pcount))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        bc, pc_ = ray.get(ref)
+        from .rounding import round_np
+
+        df = df.reset_index(drop=True)
+        big = _bigrams(df)
+        if len(big):
+            # positional index of each bigram's source doc
+            ex = df["text"].fillna("").str.lower().str.split().explode()
+            ex = ex[ex.notna()]
+            w2 = ex.groupby(level=0).shift(-1)
+            rows = ex.index[w2.notna().to_numpy()]
+            cb = (big["w1"] + " " + big["w2"]).map(bc).to_numpy(dtype=float)
+            c1 = big["w1"].map(pc_).to_numpy(dtype=float)
+            # OOV fallback (top-M-capped LM at scale): unseen bigram → 1
+            # occurrence against its prefix total (or the corpus-min 1/1)
+            cb = np.where(np.isnan(cb), 1.0, cb)
+            c1 = np.where(np.isnan(c1), 1.0, c1)
+            vals = pd.Series(np.log(cb / c1), index=rows)
+            g = vals.groupby(level=0)
+            mean = g.mean().reindex(df.index)
+            n = g.size().reindex(df.index, fill_value=0)
+        else:
+            mean = pd.Series(np.nan, index=df.index)
+            n = pd.Series(0, index=df.index)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_bigrams": n.to_numpy().astype("int64"),
+                "logprob2": round_np(mean.fillna(0.0).to_numpy(), 6),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas", batch_size=8192)
+
+
+def bigram_logprob_sql() -> str:
+    """Oracle: the same conditional bigram LM in SQL — LEAD over positioned
+    tokens builds the bigrams, AVG(LN(c(w1,w2)/c(w1,·))) per doc."""
+    return r"""
+    WITH d AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+    tl AS (
+        SELECT doc_id,
+               LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'),
+                           x -> x <> '') AS toks
+        FROM d
+    ),
+    toks AS (
+        SELECT doc_id, UNNEST(toks) AS tok, GENERATE_SUBSCRIPTS(toks, 1) AS pos
+        FROM tl
+    ),
+    big AS (
+        SELECT doc_id, tok AS w1,
+               LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM toks
+        QUALIFY w2 IS NOT NULL
+    ),
+    bc AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c FROM big GROUP BY w1, w2),
+    pc AS (SELECT w1, CAST(COUNT(*) AS DOUBLE) AS c1 FROM big GROUP BY w1),
+    per_doc AS (
+        SELECT b.doc_id, COUNT(*) AS n,
+               AVG(LN(bc.c / pc.c1)) AS lp
+        FROM big b JOIN bc USING (w1, w2) JOIN pc USING (w1)
+        GROUP BY b.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n, 0) AS BIGINT) AS n_bigrams,
+           ROUND(COALESCE(p.lp, 0.0), 6) AS logprob2
+    FROM d LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
 def token_quantiles_by_lang(sf_dir: str, qs=_QUANTILES) -> pd.DataFrame:
     """GROUPED exact quantiles: the token-length distribution audit per
     language — same sortless histogram shape as :func:`token_quantiles`,

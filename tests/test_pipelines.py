@@ -1185,3 +1185,37 @@ def test_pack_sequences_oracle_and_layout_invariance(ray_session, tmp_path):
     )
     again = to_df(pack_sequences(str(d))).sort_values("doc_id").reset_index(drop=True)
     assert again.equals(got)
+
+
+def test_bigram_logprob_oracle_and_semantics(ray_session, tmp_path):
+    """Conditional bigram LM: oracle parity + planted semantics — a doc of
+    corpus-frequent bigrams out-scores one of unique bigrams; docs with
+    fewer than two tokens score 0.0 with 0 bigrams."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.text import bigram_logprob, bigram_logprob_sql
+
+    sf = "/root/testdata/sf0.001"
+    assert_equivalent(bigram_logprob(sf), bigram_logprob_sql(), sf)
+
+    d = tmp_path / "lm2"
+    d.mkdir()
+    texts = [
+        "the cat sat on the mat",
+        "the cat sat on the mat",
+        "the cat sat on the mat",
+        "mat the on sat cat the",  # same unigrams, unseen bigram order
+        "one",
+        "",
+        None,
+    ]
+    pq.write_table(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts}),
+        str(d / "documents.parquet"),
+    )
+    assert_equivalent(bigram_logprob(str(d)), bigram_logprob_sql(), str(d))
+    got = to_df(bigram_logprob(str(d))).sort_values("doc_id").reset_index(drop=True)
+    assert got.loc[0, "logprob2"] > got.loc[3, "logprob2"]
+    for i in (4, 5, 6):
+        assert got.loc[i, "n_bigrams"] == 0 and got.loc[i, "logprob2"] == 0.0
