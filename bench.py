@@ -401,6 +401,7 @@ def extra_query_suite(warm: bool = True) -> tuple[dict, float]:
         ("stratified_mix", Cu.stratified_mix),
         ("ann_filtered", S.ann_filtered),
         ("unigram_logprob", T.unigram_logprob),
+        ("bigram_logprob", T.bigram_logprob),
         ("pack_sequences", Cu.pack_sequences),
         ("events_funnel", R.events_funnel),
         ("pagerank", C.pagerank),
