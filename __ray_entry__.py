@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _lazy("crawler_ray.pipelines.curate", "pack_sequences"),
         # conditional bigram-LM perplexity (new r5)
         "bigram_logprob": T.bigram_logprob,
+        # broadcast RANGE JOIN: orders -> containing calendar quarter (new r5)
+        "orders_by_quarter": R.orders_by_quarter,
         # relational operators (SURVEY §2.2/2.4/2.5/2.6/2.7)
         "q1_pricing_summary": R.q1_pricing_summary,
         "filter_project": R.filter_project,
@@ -185,6 +187,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": T.unigram_logprob_sql(),
         "pack_sequences": CU.pack_sequences_sql(),
         "bigram_logprob": T.bigram_logprob_sql(),
+        "orders_by_quarter": R.orders_by_quarter_sql(),
         "q1_pricing_summary": R.q1_sql(),
         "filter_project": R.filter_project_sql(),
         "segment_revenue": R.segment_revenue_sql(),

@@ -1041,3 +1041,83 @@ def events_funnel_sql(stages=("signup", "click", "purchase")) -> str:
     SELECT u.user_id, {cols}, CAST({stage_expr} AS BIGINT) AS stage
     FROM u {joins}
     """
+
+
+# --------------------------------------------------------------------------- #
+def orders_by_quarter(sf_dir: str):
+    """RANGE JOIN as a first-class operator (the §2.4 custom-op family's
+    interval member, next to the as-of join): join every order to the
+    calendar quarter interval ``[pstart, pstart + 3 months)`` containing its
+    order date, then aggregate revenue per interval.
+
+    Scale shape — the BROADCAST range join: the interval table (quarters
+    spanning the data's min→max date) is tiny and ordered, so it ships with
+    the kernel closure and each batch resolves its interval memberships in
+    one vectorized ``np.searchsorted`` — no shuffle joins the fact table to
+    the intervals; a per-batch partial aggregate then collapses to one
+    grouped sum over |quarters| × |blocks| rows. Money sums ride exact
+    integer cents (the repo's rounding convention)."""
+    import duckdb
+
+    from .rounding import round_np
+
+    lo, hi = duckdb.sql(
+        f"SELECT DATE_TRUNC('quarter', MIN(o_orderdate)), MAX(o_orderdate) "
+        f"FROM read_parquet('{os.path.join(sf_dir, 'orders.parquet')}')"
+    ).fetchone()
+    qstarts = pd.date_range(lo, hi, freq="QS")  # ordered quarter boundaries
+    starts_us = qstarts.to_numpy(dtype="datetime64[us]").astype("int64")
+    starts = qstarts.to_numpy(dtype="datetime64[us]")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        dates = df["o_orderdate"].to_numpy(dtype="datetime64[us]").astype("int64")
+        idx = np.searchsorted(starts_us, dates, side="right") - 1
+        cents = round_np(df["o_totalprice"].to_numpy() * 100.0, 0).astype("int64")
+        g = pd.DataFrame({"i": idx, "cents": cents}).groupby("i", sort=False)
+        agg = g.agg(n_orders=("cents", "size"), cents=("cents", "sum")).reset_index()
+        return pd.DataFrame(
+            {
+                "period_start": starts[agg["i"].to_numpy()],
+                "n_orders": agg["n_orders"].astype("int64"),
+                "cents": agg["cents"].astype("int64"),
+            }
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "period_start": df["period_start"],
+                "n_orders": df["sum(n_orders)"].astype("int64"),
+                "revenue": df["sum(cents)"].to_numpy() / 100.0,
+            }
+        )
+
+    return (
+        _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pandas", batch_size=8192)
+        .groupby("period_start")
+        .sum(["n_orders", "cents"])
+        .map_batches(finish, batch_format="pandas")
+    )
+
+
+def orders_by_quarter_sql() -> str:
+    return """
+    WITH bounds AS (
+        SELECT DATE_TRUNC('quarter', MIN(o_orderdate)) AS lo, MAX(o_orderdate) AS hi
+        FROM orders
+    ),
+    periods AS (
+        SELECT UNNEST(GENERATE_SERIES((SELECT lo FROM bounds),
+                                      (SELECT hi FROM bounds),
+                                      INTERVAL 3 MONTH)) AS period_start
+    )
+    SELECT p.period_start,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+    FROM orders o
+    JOIN periods p
+      ON o.o_orderdate >= p.period_start
+     AND o.o_orderdate < p.period_start + INTERVAL 3 MONTH
+    GROUP BY p.period_start
+    """

@@ -1219,3 +1219,21 @@ def test_bigram_logprob_oracle_and_semantics(ray_session, tmp_path):
     assert got.loc[0, "logprob2"] > got.loc[3, "logprob2"]
     for i in (4, 5, 6):
         assert got.loc[i, "n_bigrams"] == 0 and got.loc[i, "logprob2"] == 0.0
+
+
+def test_orders_by_quarter_range_join(ray_session):
+    """Broadcast range join: every order lands in exactly one quarter
+    interval (totals reconcile with the raw table) and matches the DuckDB
+    interval-join oracle."""
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.relational import (
+        orders_by_quarter,
+        orders_by_quarter_sql,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    assert_equivalent(orders_by_quarter(sf), orders_by_quarter_sql(), sf)
+    got = to_df(orders_by_quarter(sf))
+    n = pq.read_metadata(f"{sf}/orders.parquet").num_rows
+    assert got["n_orders"].sum() == n  # partition of the fact table
