@@ -403,6 +403,7 @@ def extra_query_suite(warm: bool = True) -> tuple[dict, float]:
         ("unigram_logprob", T.unigram_logprob),
         ("bigram_logprob", T.bigram_logprob),
         ("pack_sequences", Cu.pack_sequences),
+        ("orders_by_quarter", R.orders_by_quarter),
         ("events_funnel", R.events_funnel),
         ("pagerank", C.pagerank),
     ]
