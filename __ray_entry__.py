@@ -83,6 +83,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_logprob": T.bigram_logprob,
         # broadcast RANGE JOIN: orders -> containing calendar quarter (new r5)
         "orders_by_quarter": R.orders_by_quarter,
+        # per-source duplication audit table (new r5)
+        "dup_stats_by_source": D.dup_stats_by_source,
         # relational operators (SURVEY §2.2/2.4/2.5/2.6/2.7)
         "q1_pricing_summary": R.q1_pricing_summary,
         "filter_project": R.filter_project,
@@ -188,6 +190,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": CU.pack_sequences_sql(),
         "bigram_logprob": T.bigram_logprob_sql(),
         "orders_by_quarter": R.orders_by_quarter_sql(),
+        "dup_stats_by_source": D.dup_stats_by_source_sql(),
         "q1_pricing_summary": R.q1_sql(),
         "filter_project": R.filter_project_sql(),
         "segment_revenue": R.segment_revenue_sql(),

@@ -1004,3 +1004,85 @@ def ngram_jaccard_pairs(sf_dir: str, candidates=None, n: int = 3, threshold: flo
     return _join_pair_sides(cands, docs, "text", n_pairs).map_batches(
         verify, batch_format="pyarrow"
     )
+
+
+# --------------------------------------------------------------------------- #
+def dup_stats_by_source(sf_dir: str):
+    """Per-source duplication audit (the curation dashboard table): document
+    count, distinct-text count and the duplicate rate per ``source``.
+
+    Scale shape: each batch collapses to one row per (source, 128-bit text
+    hash) — the same two-key siphash as :func:`exact_dedup`, so a silent
+    collision needs ~1e-19 odds — then one grouped count per (source, hash)
+    dedups across batches, and a per-batch (source, uniq, docs) partial
+    collapses to one grouped sum per source. Nothing corpus-sized shuffles
+    twice; output is |sources| rows."""
+    import ray.data as rd
+
+    from .rounding import round_np
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].fillna("").to_numpy(dtype=object)
+        h1 = stable_hash64(texts)
+        h2 = stable_hash64(texts, key="crawler_ray.dedup2")
+        part = pd.DataFrame(
+            {
+                "source": df["source"].to_numpy(),
+                "h1": h1.view(np.int64),
+                "h2": h2.view(np.int64),
+            }
+        )
+        g = part.groupby(["source", "h1", "h2"], sort=False).size()
+        out = g.reset_index()
+        out.columns = ["source", "h1", "h2", "docs"]
+        return out.astype({"docs": "int64"})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # rows here are globally unique (source, h1, h2) after the grouped
+        # sum, so uniq counts add correctly across batches
+        g = df.groupby("source", sort=False)["sum(docs)"].agg(["size", "sum"])
+        return pd.DataFrame(
+            {
+                "source": g.index.to_numpy(),
+                "n_unique": g["size"].to_numpy().astype("int64"),
+                "n_docs": g["sum"].to_numpy().astype("int64"),
+            }
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        uniq = df["sum(n_unique)"].to_numpy().astype("int64")
+        docs = df["sum(n_docs)"].to_numpy().astype("int64")
+        return pd.DataFrame(
+            {
+                "source": df["source"],
+                "n_docs": docs,
+                "n_unique": uniq,
+                "dup_rate": round_np(1.0 - uniq / docs, 6),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pandas", batch_size=8192)
+        .groupby(["source", "h1", "h2"])
+        .sum("docs")
+        .map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .sum(["n_unique", "n_docs"])
+        .map_batches(finish, batch_format="pandas")
+    )
+
+
+def dup_stats_by_source_sql() -> str:
+    return """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT COALESCE(text, '')) AS BIGINT) AS n_unique,
+           ROUND(1.0 - COUNT(DISTINCT COALESCE(text, ''))::DOUBLE / COUNT(*), 6)
+               AS dup_rate
+    FROM documents
+    GROUP BY source
+    """

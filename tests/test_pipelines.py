@@ -1237,3 +1237,36 @@ def test_orders_by_quarter_range_join(ray_session):
     got = to_df(orders_by_quarter(sf))
     n = pq.read_metadata(f"{sf}/orders.parquet").num_rows
     assert got["n_orders"].sum() == n  # partition of the fact table
+
+
+def test_dup_stats_by_source(ray_session, tmp_path):
+    """Per-source dup audit: oracle parity on the sf fixture plus planted
+    duplicate rates."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.dedup import (
+        dup_stats_by_source,
+        dup_stats_by_source_sql,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    assert_equivalent(dup_stats_by_source(sf), dup_stats_by_source_sql(), sf)
+
+    d = tmp_path / "dupsrc"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(6)),
+                "source": ["a", "a", "a", "a", "b", "b"],
+                "text": ["x", "x", "x", "y", "p", "q"],
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    assert_equivalent(dup_stats_by_source(str(d)), dup_stats_by_source_sql(), str(d))
+    got = to_df(dup_stats_by_source(str(d))).set_index("source")
+    assert got.loc["a", "n_docs"] == 4 and got.loc["a", "n_unique"] == 2
+    assert got.loc["a", "dup_rate"] == 0.5
+    assert got.loc["b", "dup_rate"] == 0.0
