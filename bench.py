@@ -404,6 +404,7 @@ def extra_query_suite(warm: bool = True) -> tuple[dict, float]:
         ("bigram_logprob", T.bigram_logprob),
         ("pack_sequences", Cu.pack_sequences),
         ("orders_by_quarter", R.orders_by_quarter),
+        ("dup_stats_by_source", D.dup_stats_by_source),
         ("events_funnel", R.events_funnel),
         ("pagerank", C.pagerank),
     ]
