@@ -479,7 +479,7 @@ def curate_sql(
     WITH RECURSIVE {_clusters_cte_sql(sf_dir, near_dup_threshold)},
     q AS ({quality_sql()}),
     surv AS (
-        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY COALESCE(text, '')
     )
     SELECT q.doc_id, q.n_tokens, q.quality
     FROM q JOIN surv USING (doc_id)
@@ -507,7 +507,7 @@ def export_curated_sql(
     WITH RECURSIVE {_clusters_cte_sql(sf_dir, near_dup_threshold)},
     q AS ({quality_sql()}),
     surv AS (
-        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY COALESCE(text, '')
     ),
     curated AS (
         SELECT q.doc_id

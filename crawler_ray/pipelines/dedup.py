@@ -88,7 +88,9 @@ def exact_dedup(sf_dir: str):
 
 
 def exact_dedup_sql() -> str:
-    return "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
+    # COALESCE mirrors the engine's fillna(''): a NULL text doc groups with
+    # the empty-string doc, not its own group (ADVICE-r4 class)
+    return "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY COALESCE(text, '')"
 
 
 # --------------------------------------------------------------------------- #
@@ -823,7 +825,8 @@ def _gram_jaccard_sql(pairs_sql: str, final_where: str = "") -> str:
     return f"""
     WITH base AS (
         SELECT doc_id,
-               LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'), x -> x <> '') AS toks
+               LIST_FILTER(STRING_SPLIT_REGEX(LOWER(COALESCE(text, '')), '\\s+'),
+                           x -> x <> '') AS toks
         FROM documents
     ), tok AS (
         SELECT doc_id, UNNEST(toks) AS tok, GENERATE_SUBSCRIPTS(toks, 1) AS pos

@@ -795,7 +795,8 @@ def bm25_topk_sql(query: str = _BM25_QUERY, k: int = 10, k1: float = 1.2, b: flo
     return f"""
     WITH base AS (
         SELECT doc_id,
-               LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'), x -> x <> '') AS toks
+               LIST_FILTER(STRING_SPLIT_REGEX(LOWER(COALESCE(text, '')), '\\s+'),
+                           x -> x <> '') AS toks
         FROM documents
     ), stats AS (
         SELECT COUNT(*)::DOUBLE AS n,

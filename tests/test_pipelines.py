@@ -1270,3 +1270,42 @@ def test_dup_stats_by_source(ray_session, tmp_path):
     assert got.loc["a", "n_docs"] == 4 and got.loc["a", "n_unique"] == 2
     assert got.loc["a", "dup_rate"] == 0.5
     assert got.loc["b", "dup_rate"] == 0.0
+
+
+def test_dedup_oracles_null_text_parity(ray_session, tmp_path):
+    """Same ADVICE-r4 class as the text oracles: the engines fillna('') so a
+    NULL text doc must group WITH the empty-string doc in exact dedup (and
+    tokenize to nothing in the n-gram oracles), not form its own group."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.dedup import (
+        dup_stats_by_source,
+        dup_stats_by_source_sql,
+        exact_dedup,
+        exact_dedup_sql,
+        jaccard_adjacent,
+        jaccard_adjacent_sql,
+    )
+
+    d = tmp_path / "dednull"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [None, "", "a b c d e f g", "a b c d e f g"],
+                "lang": ["en"] * 4,
+                "source": ["s"] * 4,
+                "n_chars": [0, 0, 13, 13],
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    sf = str(d)
+    assert_equivalent(exact_dedup(sf), exact_dedup_sql(), sf)
+    assert_equivalent(dup_stats_by_source(sf), dup_stats_by_source_sql(), sf)
+    assert_equivalent(jaccard_adjacent(sf), jaccard_adjacent_sql(), sf)
+    # NULL and '' collapsed to one survivor (doc 0), dups to doc 2
+    kept = sorted(to_df(exact_dedup(sf))["doc_id"])
+    assert kept == [0, 2]
