@@ -85,6 +85,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_quarter": R.orders_by_quarter,
         # per-source duplication audit table (new r5)
         "dup_stats_by_source": D.dup_stats_by_source,
+        # HyperLogLog frontier-cardinality sketch (new r5): mergeable
+        # (bucket, max_rank) registers over distinct link targets
+        "hll_distinct": C.hll_distinct,
+        # overlapping token-window chunking, content-addressed (new r5)
+        "chunk_documents": T.chunk_documents,
         # relational operators (SURVEY §2.2/2.4/2.5/2.6/2.7)
         "q1_pricing_summary": R.q1_pricing_summary,
         "filter_project": R.filter_project,
@@ -191,6 +196,8 @@ def oracle_sql() -> dict[str, str]:
         "bigram_logprob": T.bigram_logprob_sql(),
         "orders_by_quarter": R.orders_by_quarter_sql(),
         "dup_stats_by_source": D.dup_stats_by_source_sql(),
+        "hll_distinct": C.hll_distinct_sql(_SF_ORACLE),
+        "chunk_documents": T.chunk_documents_sql(),
         "q1_pricing_summary": R.q1_sql(),
         "filter_project": R.filter_project_sql(),
         "segment_revenue": R.segment_revenue_sql(),

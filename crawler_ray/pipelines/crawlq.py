@@ -350,3 +350,109 @@ def pagerank_sql(sf_dir: str, n_iters: int = 5, scale: int = 10**12) -> str:
     WITH {", ".join(ctes)}
     SELECT url, CAST(rank AS BIGINT) AS rank FROM r{n_iters}
     """
+
+
+# --- approximate-distinct cardinality (HyperLogLog) --------------------------
+
+_HLL_P = 12  # 2^12 = 4096 registers
+_HLL_RANK_BITS = 64 - _HLL_P
+
+
+def hll_distinct(sf_dir: str):
+    """Approximate-distinct cardinality sketch (HyperLogLog registers) over
+    the link-target URL set — the frontier-size estimation primitive ("how
+    many distinct URLs has the crawl discovered") without a global distinct
+    shuffle (SURVEY §2.5 A4's counting sibling; reference analogue: the
+    frontier dedup set, /root/reference/README.md budget/depth table).
+
+    Returns the (bucket, max_rank) register table (≤4096 rows). Registers
+    are MERGEABLE (elementwise max), so at 100 TB each block emits partial
+    registers — ≤4096 tiny rows per block, deduped within the batch — and a
+    single bounded ``groupby(bucket).max()`` merges them; no distinct-URL
+    shuffle, no global set, state size is O(4 KB) regardless of input size.
+    :func:`hll_estimate` turns registers into the cardinality estimate
+    (pytest pins it within ±5% of the exact count at sf0.01).
+
+    Hash parity with the DuckDB oracle: ``md5(url)`` first 16 hex chars →
+    uint64; bucket = top 12 bits; rank = 1-based position of the first 1-bit
+    in the low 52 (all-zero remainder → 53).
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    links = corpus_links(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vals = df["dst"].dropna().unique()
+        if not len(vals):
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series([], dtype="int64"),
+                    "max_rank": pd.Series([], dtype="int64"),
+                }
+            )
+        h = np.fromiter(
+            (int(hashlib.md5(v.encode()).hexdigest()[:16], 16) for v in vals),
+            dtype=np.uint64,
+            count=len(vals),
+        )
+        bucket = (h >> np.uint64(_HLL_RANK_BITS)).astype(np.int64)
+        rem = h & np.uint64((1 << _HLL_RANK_BITS) - 1)
+        # exact integer bit_length via frexp (rem < 2^52 → exact in float64)
+        e = np.frexp(rem.astype(np.float64))[1]
+        rank = np.where(rem == 0, _HLL_RANK_BITS + 1, _HLL_RANK_BITS + 1 - e)
+        out = pd.DataFrame({"bucket": bucket, "max_rank": rank.astype(np.int64)})
+        return out.groupby("bucket", as_index=False)["max_rank"].max()
+
+    regs = (
+        links.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .max("max_rank")
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["bucket", "max_rank"])
+
+    return regs.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def hll_estimate(regs, m: int = 1 << _HLL_P) -> float:
+    """Standard HLL estimator with small-range linear-counting correction,
+    over the register table :func:`hll_distinct` returns."""
+    import numpy as np
+
+    df = regs.to_pandas() if hasattr(regs, "to_pandas") else regs
+    ranks = df["max_rank"].to_numpy()
+    zeros = m - len(ranks)  # absent buckets hold rank 0
+    harmonic = zeros * 1.0 + np.sum(np.exp2(-ranks.astype(np.float64)))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / harmonic
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)  # linear counting
+    return float(est)
+
+
+def hll_distinct_sql(sf_dir: str) -> str:
+    """Oracle: the identical md5-based HLL registers recomputed in SQL over
+    the UNNEST-extracted distinct link targets."""
+    path = corpus_for_sf(sf_dir)
+    rb = _HLL_RANK_BITS
+    return f"""
+    WITH u AS (
+        SELECT DISTINCT u.s['text'] AS dst
+        FROM read_parquet('{path}') t, UNNEST(t.spans) AS u(s)
+        WHERE u.s['kind'] = 'link' AND u.s['text'] IS NOT NULL
+    ),
+    h AS (SELECT CAST('0x' || SUBSTR(md5(dst), 1, 16) AS UBIGINT) AS h FROM u),
+    b AS (
+        SELECT CAST(h >> {rb} AS BIGINT) AS bucket,
+               h & ((1::UBIGINT << {rb}) - 1) AS rem
+        FROM h
+    )
+    SELECT bucket,
+           CAST(MAX(CASE WHEN rem = 0 THEN {rb + 1}
+                         ELSE {rb + 1} - LENGTH(bin(rem)) END) AS BIGINT) AS max_rank
+    FROM b GROUP BY bucket
+    """

@@ -1324,3 +1324,87 @@ def normalize_text_sql() -> str:
                 AS BIGINT) AS changed
     FROM d
     """
+
+
+# --- overlapping token-window chunking --------------------------------------
+
+
+def chunk_documents(sf_dir: str, size: int = 64, stride: int = 48):
+    """Overlapping token-window chunking — the RAG / pretraining-window
+    primitive: each document's whitespace tokens are cut into windows of
+    ``size`` tokens starting every ``stride`` tokens (trailing windows may be
+    short; empty docs emit no chunks), each chunk content-addressed by the
+    md5 of its re-joined text.
+
+    Scale shape: pure ``map_batches`` — no shuffle, chunk windows never
+    cross documents, so blocks stream independently; the (token → window)
+    fan-out is vectorized (one masked explode per overlap level,
+    ``ceil(size/stride)`` levels) rather than a per-document Python loop.
+    Chunk rows feed :func:`~crawler_ray.pipelines.curate.pack_sequences` /
+    embedding stages downstream.
+    """
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    n_over = -(-size // stride)  # max windows any one token belongs to
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        ex = df["text"].fillna("").str.split().explode().dropna()
+        if not len(ex):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=object),
+                    "chunk_id": pd.Series([], dtype="int64"),
+                    "n_tokens": pd.Series([], dtype="int64"),
+                    "chunk_md5": pd.Series([], dtype=object),
+                }
+            )
+        pos = ex.groupby(level=0).cumcount().to_numpy()
+        row = ex.index.to_numpy()
+        tok = ex.to_numpy()
+        parts = []
+        for k in range(n_over):
+            j = pos // stride - k
+            ok = (j >= 0) & (pos < j * stride + size)
+            parts.append(
+                pd.DataFrame(
+                    {"row": row[ok], "chunk": j[ok], "pos": pos[ok], "tok": tok[ok]}
+                )
+            )
+        allp = pd.concat(parts, ignore_index=True).sort_values(
+            ["row", "chunk", "pos"], kind="stable"
+        )
+        g = allp.groupby(["row", "chunk"], sort=False)
+        res = g["tok"].agg(" ".join).reset_index()
+        n_tok = g.size().to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy()[res["row"].to_numpy()],
+                "chunk_id": res["chunk"].to_numpy().astype("int64"),
+                "n_tokens": n_tok.astype("int64"),
+                "chunk_md5": [
+                    hashlib.md5(s.encode()).hexdigest() for s in res["tok"]
+                ],
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas", batch_size=2048)
+
+
+def chunk_documents_sql(size: int = 64, stride: int = 48) -> str:
+    """Oracle: identical windows via generate_series + 1-based inclusive list
+    slicing over the same whitespace tokenization."""
+    return rf"""
+    WITH d AS (SELECT doc_id,
+                      LIST_FILTER(STRING_SPLIT_REGEX(COALESCE(text, ''), '\s+'),
+                                  x -> x <> '') AS toks
+               FROM documents),
+    n AS (SELECT doc_id, toks, LEN(toks) AS n FROM d),
+    s AS (SELECT doc_id, toks, n,
+                 UNNEST(generate_series(0, CAST(n AS BIGINT) - 1, {stride})) AS start
+          FROM n WHERE n > 0)
+    SELECT doc_id,
+           start // {stride} AS chunk_id,
+           CAST(LEAST({size}, n - start) AS BIGINT) AS n_tokens,
+           md5(array_to_string(toks[start + 1 : LEAST(start + {size}, n)], ' ')) AS chunk_md5
+    FROM s
+    """

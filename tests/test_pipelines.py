@@ -1309,3 +1309,74 @@ def test_dedup_oracles_null_text_parity(ray_session, tmp_path):
     # NULL and '' collapsed to one survivor (doc 0), dups to doc 2
     kept = sorted(to_df(exact_dedup(sf))["doc_id"])
     assert kept == [0, 2]
+
+
+def test_hll_distinct_registers_and_estimate(ray_session):
+    """HLL frontier-cardinality sketch: register table matches the SQL-side
+    recomputation bit-for-bit, and the estimator (with linear-counting
+    correction) lands within ±5% of the exact distinct link-target count."""
+    import duckdb
+
+    from crawler_ray.pipelines.crawlq import (
+        corpus_for_sf,
+        hll_distinct,
+        hll_distinct_sql,
+        hll_estimate,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    regs = to_df(hll_distinct(sf))
+    assert_equivalent(regs, hll_distinct_sql(sf), sf)
+    assert len(regs) <= 4096 and regs["max_rank"].min() >= 1
+    assert regs["bucket"].is_unique
+
+    exact = duckdb.sql(
+        f"""SELECT COUNT(DISTINCT u.s['text'])
+            FROM read_parquet('{corpus_for_sf(sf)}') t, UNNEST(t.spans) AS u(s)
+            WHERE u.s['kind'] = 'link'"""
+    ).fetchone()[0]
+    est = hll_estimate(regs)
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+
+
+def test_chunk_documents_planted_and_oracle(ray_session, tmp_path):
+    """Token-window chunking: oracle parity on the sf fixture and on planted
+    docs (short/empty/NULL text, non-default size/stride), plus hand-checked
+    window boundaries and content hashes."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.text import chunk_documents, chunk_documents_sql
+
+    sf = "/root/testdata/sf0.001"
+    assert_equivalent(chunk_documents(sf), chunk_documents_sql(), sf)
+
+    d = tmp_path / "chunks"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": ["d1", "d2", "d3", "d4"],
+                "text": ["a b c d e f g", "only two", "", None],
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    assert_equivalent(
+        chunk_documents(str(d), size=4, stride=3),
+        chunk_documents_sql(size=4, stride=3),
+        str(d),
+    )
+    got = (
+        to_df(chunk_documents(str(d), size=4, stride=3))
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    # d1: windows [a b c d], [d e f g], [g]; d2: [only two]; d3/d4: none
+    assert list(got["doc_id"]) == ["d1", "d1", "d1", "d2"]
+    assert list(got["chunk_id"]) == [0, 1, 2, 0]
+    assert list(got["n_tokens"]) == [4, 4, 1, 2]
+    assert got.loc[0, "chunk_md5"] == hashlib.md5(b"a b c d").hexdigest()
+    assert got.loc[2, "chunk_md5"] == hashlib.md5(b"g").hexdigest()
