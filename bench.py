@@ -407,6 +407,8 @@ def extra_query_suite(warm: bool = True) -> tuple[dict, float]:
         ("dup_stats_by_source", D.dup_stats_by_source),
         ("events_funnel", R.events_funnel),
         ("pagerank", C.pagerank),
+        ("hll_distinct", C.hll_distinct),
+        ("chunk_documents", T.chunk_documents),
     ]
     warm_sec = 0.0
     if warm:
