@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct": C.hll_distinct,
         # overlapping token-window chunking, content-addressed (new r5)
         "chunk_documents": T.chunk_documents,
+        # sketch × window composition: per-hour HLL registers over users
+        "events_hll_hourly": R.events_hll_hourly,
         # relational operators (SURVEY §2.2/2.4/2.5/2.6/2.7)
         "q1_pricing_summary": R.q1_pricing_summary,
         "filter_project": R.filter_project,
@@ -198,6 +200,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_stats_by_source": D.dup_stats_by_source_sql(),
         "hll_distinct": C.hll_distinct_sql(_SF_ORACLE),
         "chunk_documents": T.chunk_documents_sql(),
+        "events_hll_hourly": R.events_hll_hourly_sql(),
         "q1_pricing_summary": R.q1_sql(),
         "filter_project": R.filter_project_sql(),
         "segment_revenue": R.segment_revenue_sql(),

@@ -409,6 +409,7 @@ def extra_query_suite(warm: bool = True) -> tuple[dict, float]:
         ("pagerank", C.pagerank),
         ("hll_distinct", C.hll_distinct),
         ("chunk_documents", T.chunk_documents),
+        ("events_hll_hourly", R.events_hll_hourly),
     ]
     warm_sec = 0.0
     if warm:

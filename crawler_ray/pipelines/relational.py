@@ -1121,3 +1121,102 @@ def orders_by_quarter_sql() -> str:
      AND o.o_orderdate < p.period_start + INTERVAL 3 MONTH
     GROUP BY p.period_start
     """
+
+
+def events_hll_hourly(sf_dir: str):
+    """Windowed approximate-distinct (sketch × window composition): per
+    tumbling event-time hour, the HyperLogLog register table over distinct
+    ``user_id`` — "distinct users per hour" without a per-window exact set.
+
+    Scale shape: each batch dedupes (window, user) locally, hashes only the
+    survivors through the shared :func:`~.crawlq.hll_bucket_rank` kernel, and
+    emits partial registers (≤4096 tiny rows per window per block); one
+    bounded ``groupby(window, bucket).max()`` merges them. State per window
+    is O(4 KB) however many events the hour holds — the streaming-friendly
+    form of COUNT(DISTINCT) OVER a window. Estimator:
+    :func:`~.crawlq.hll_estimate` per window (pytest pins accuracy vs the
+    exact per-window distinct count).
+    """
+    from .crawlq import hll_bucket_rank
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ts = t["ts"].combine_chunks().cast(pa.int64())
+        win = pc.multiply(pc.divide(ts, 3600 * 10**6), 3600)
+        df = pa.table(
+            {"window_start": win, "user_id": t["user_id"].combine_chunks()}
+        ).to_pandas()
+        df = df.drop_duplicates()
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "window_start": pd.Series([], dtype="int64"),
+                    "bucket": pd.Series([], dtype="int64"),
+                    "max_rank": pd.Series([], dtype="int64"),
+                }
+            )
+        bucket, rank = hll_bucket_rank(
+            [str(u) for u in df["user_id"].to_numpy()]
+        )
+        out = pd.DataFrame(
+            {
+                "window_start": df["window_start"].to_numpy(),
+                "bucket": bucket,
+                "max_rank": rank,
+            }
+        )
+        return out.groupby(["window_start", "bucket"], as_index=False)[
+            "max_rank"
+        ].max()
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+
+    # merge partials with the pkey+kernel pattern, NOT Ray's sort aggregate:
+    # (window, bucket) cardinality ≈ windows × 4096 and the sort aggregate
+    # pays per-group Python dispatch (~30 s for 9.5k groups at sf0.01,
+    # measured); here Python invocations = partition count and the in-
+    # partition merge is one vectorized pandas groupby.
+    n_parts = agg_partitions(sf_dir, "events")
+
+    def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["window_start"].to_numpy(np.uint64) * np.uint64(4096) + df[
+            "bucket"
+        ].to_numpy(np.uint64)
+        df = df.copy(deep=False)
+        df["pkey"] = (
+            pd.util.hash_array(k, categorize=False) % np.uint64(n_parts)
+        ).astype(np.int64)
+        return df
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        return part.drop(columns=["pkey"]).groupby(
+            ["window_start", "bucket"], as_index=False
+        )["max_rank"].max()
+
+    return (
+        partials.map_batches(add_pkey, batch_format="pandas")
+        .groupby("pkey")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def events_hll_hourly_sql() -> str:
+    """Oracle: identical md5-based registers per hour window in SQL."""
+    return """
+    WITH u AS (
+        SELECT DISTINCT CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+                        user_id
+        FROM events
+    ),
+    h AS (SELECT window_start,
+                 CAST('0x' || SUBSTR(md5(CAST(user_id AS VARCHAR)), 1, 16) AS UBIGINT) AS h
+          FROM u),
+    b AS (SELECT window_start,
+                 CAST(h >> 52 AS BIGINT) AS bucket,
+                 h & ((1::UBIGINT << 52) - 1) AS rem
+          FROM h)
+    SELECT window_start, bucket,
+           CAST(MAX(CASE WHEN rem = 0 THEN 53 ELSE 53 - LENGTH(bin(rem)) END) AS BIGINT) AS max_rank
+    FROM b GROUP BY window_start, bucket
+    """

@@ -1380,3 +1380,80 @@ def test_chunk_documents_planted_and_oracle(ray_session, tmp_path):
     assert list(got["n_tokens"]) == [4, 4, 1, 2]
     assert got.loc[0, "chunk_md5"] == hashlib.md5(b"a b c d").hexdigest()
     assert got.loc[2, "chunk_md5"] == hashlib.md5(b"g").hexdigest()
+
+
+def test_events_hll_hourly_registers_and_estimate(ray_session):
+    """Windowed HLL: per-hour register table matches the SQL recomputation,
+    and each window's estimate lands within ±5% of the exact per-window
+    distinct-user count."""
+    from crawler_ray.pipelines.crawlq import hll_estimate
+    from crawler_ray.pipelines.relational import (
+        events_hll_hourly,
+        events_hll_hourly_sql,
+    )
+    from tests.util_compare import run_oracle
+
+    sf = "/root/testdata/sf0.001"
+    regs = to_df(events_hll_hourly(sf))
+    assert_equivalent(regs, events_hll_hourly_sql(), sf)
+
+    exact = run_oracle(
+        """SELECT CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+                  COUNT(DISTINCT user_id) AS n
+           FROM events GROUP BY 1""",
+        sf,
+    ).set_index("window_start")["n"]
+    assert len(exact) > 1  # fixture spans multiple windows
+    for win, grp in regs.groupby("window_start"):
+        est = hll_estimate(grp)
+        assert abs(est - exact.loc[win]) / exact.loc[win] < 0.05, (
+            win,
+            est,
+            exact.loc[win],
+        )
+
+
+def test_chunk_documents_vectorized_matches_naive(ray_session, tmp_path):
+    """Property: the masked-explode chunking kernel equals a per-document
+    reference implementation (list slicing) across random token counts and
+    (size, stride) shapes, including stride > size (gaps) and stride = 1."""
+    import hashlib
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.text import chunk_documents
+
+    rng = random.Random(7)
+    for size, stride in [(4, 3), (5, 5), (3, 7), (6, 1)]:
+        d = tmp_path / f"c{size}_{stride}"
+        d.mkdir()
+        texts = [
+            " ".join(f"t{rng.randrange(50)}" for _ in range(rng.randrange(0, 23)))
+            for _ in range(40)
+        ]
+        pq.write_table(
+            pa.table({"doc_id": [f"d{i}" for i in range(40)], "text": texts}),
+            str(d / "documents.parquet"),
+        )
+        got = (
+            to_df(chunk_documents(str(d), size=size, stride=stride))
+            .sort_values(["doc_id", "chunk_id"])
+            .reset_index(drop=True)
+        )
+        want = []
+        for i, text in enumerate(texts):
+            toks = text.split()
+            for start in range(0, len(toks), stride):
+                chunk = toks[start : start + size]
+                want.append(
+                    (
+                        f"d{i}",
+                        start // stride,
+                        len(chunk),
+                        hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+                    )
+                )
+        want.sort()
+        assert list(map(tuple, got.to_numpy())) == want, (size, stride)
