@@ -187,13 +187,20 @@ def pagerank(
     parity test."""
     import pyarrow.compute as pc
 
+    from .partitions import for_bytes, for_rows, keyed_merge
+
     links = corpus_links(sf_dir).select_columns(["src", "dst"])
-    edges = (
-        links.groupby(["src", "dst"])
-        .count()
-        .select_columns(["src", "dst"])
-        .materialize()
-    )
+    # distinct-edge / degree / node-set / message-sum merges all have
+    # data-scaling group counts (|E| or |V| groups) — keyed_merge keeps the
+    # Python dispatch at the partition count; the sort aggregate's per-group
+    # reduce would dominate at web-graph scale
+    n_merge = for_bytes(os.path.getsize(corpus_for_sf(sf_dir)), 32 << 20, floor=8)
+    edges = keyed_merge(
+        links,
+        ["src", "dst"],
+        lambda df: df.drop_duplicates(["src", "dst"]),
+        n_merge,
+    ).materialize()
     n_edges = edges.count()
     if n_edges == 0:
         # empty link graph: no nodes, so base = scale // n is undefined —
@@ -207,9 +214,14 @@ def pagerank(
         distributed = n_edges > mem_cutoff
     if not distributed:
         return _pagerank_numpy(edges.to_pandas(), n_iters, scale)
-    deg = edges.groupby("src").count()  # (src, count())
-    from .partitions import for_rows
-
+    deg = keyed_merge(
+        edges,
+        "src",
+        lambda df: df.groupby("src", as_index=False).size().rename(
+            columns={"size": "deg"}
+        ),
+        n_merge,
+    )
     n_parts = for_rows(n_edges, 2_000_000, floor=1)
 
     def as_url(name):
@@ -218,20 +230,20 @@ def pagerank(
 
         return fn
 
-    nodes = (
-        edges.map_batches(as_url("src"), batch_format="pyarrow")
-        .union(edges.map_batches(as_url("dst"), batch_format="pyarrow"))
-        .groupby("url")
-        .count()
-        .select_columns(["url"])
-        .materialize()  # consumed twice: count() below and the state join
-    )
+    nodes = keyed_merge(
+        edges.map_batches(as_url("src"), batch_format="pyarrow").union(
+            edges.map_batches(as_url("dst"), batch_format="pyarrow")
+        ),
+        "url",
+        lambda df: df.drop_duplicates("url"),
+        n_merge,
+    ).materialize()  # consumed twice: count() below and the state join
     n = nodes.count()
     base = scale // n
     teleport = (15 * base) // 100
 
     def init_state(t: pa.Table) -> pa.Table:
-        d = t["count()"].combine_chunks()
+        d = t["deg"].combine_chunks()
         return pa.table(
             {
                 "url": t["url"].combine_chunks(),
@@ -257,14 +269,19 @@ def pagerank(
             state.map_batches(contrib, batch_format="pyarrow"),
             join_type="inner", num_partitions=n_parts, on=("src",), right_on=("src",),
         )
-        sums = msgs.groupby("dst").sum("c")
+        sums = keyed_merge(
+            msgs,
+            "dst",
+            lambda df: df.groupby("dst", as_index=False)["c"].sum(),
+            n_merge,
+        )
 
         def apply(t: pa.Table) -> pa.Table:
             # empty blocks can lose join-added columns through the hash
             # shuffle (same guard as customers_without_big_orders): a block
             # with no matched sums means contribution 0 for every row
-            if "sum(c)" in t.column_names:
-                s = t["sum(c)"].combine_chunks().fill_null(0)
+            if "c" in t.column_names:
+                s = t["c"].combine_chunks().fill_null(0)
             else:
                 s = pa.array([0] * len(t), pa.int64())
             new = pc.add(

@@ -46,9 +46,8 @@ def _clusters_distributed(pairs, max_iters: int = 64):
     point). Ray's join key rules limit this path to integer doc ids;
     string-keyed corpora use the in-memory kernel."""
     import ray.data as rd
-    from ray.data.aggregate import Min
 
-    from .partitions import for_rows
+    from .partitions import for_rows, keyed_merge
 
     def sym(t: pa.Table) -> pa.Table:
         a, b = t["a"].combine_chunks(), t["b"].combine_chunks()
@@ -67,9 +66,16 @@ def _clusters_distributed(pairs, max_iters: int = 64):
         )
     np_ = for_rows(n_edges, 1_000_000)
 
+    # every aggregate in this loop has |V| groups — keyed_merge keeps the
+    # Python dispatch at the partition count (Ray's sort aggregate pays
+    # per-group dispatch in its reduce, prohibitive at web-graph node counts)
     labels = (
-        edges.groupby("node")
-        .aggregate(Min("nbr", alias_name="drop"))
+        keyed_merge(
+            edges,
+            "node",
+            lambda df: df[["node"]].drop_duplicates(),
+            np_,
+        )
         .map_batches(
             lambda t: pa.table(
                 {"node": t["node"].combine_chunks(), "label": t["node"].combine_chunks()}
@@ -94,8 +100,14 @@ def _clusters_distributed(pairs, max_iters: int = 64):
         # pulled mins carry a sentinel label0 so Min(label0) below resolves
         # to the node's iteration-start label (threaded change detection)
         mins = (
-            pulled.groupby("node")
-            .aggregate(Min("nbr_label", alias_name="label"))
+            keyed_merge(
+                pulled,
+                "node",
+                lambda df: df.groupby("node", as_index=False)["nbr_label"]
+                .min()
+                .rename(columns={"nbr_label": "label"}),
+                np_,
+            )
             .map_batches(
                 lambda t: pa.table(
                     {
@@ -117,15 +129,12 @@ def _clusters_distributed(pairs, max_iters: int = 64):
             ),
             batch_format="pyarrow",
         )
-        folded = (
-            with_l0.union(mins)
-            .groupby("node")
-            .aggregate(
-                Min("label", alias_name="label"), Min("label0", alias_name="label0")
-            )
-            .select_columns(["node", "label", "label0"])
-            .materialize()
-        )
+        folded = keyed_merge(
+            with_l0.union(mins),
+            "node",
+            lambda df: df.groupby("node", as_index=False)[["label", "label0"]].min(),
+            np_,
+        ).materialize()
         # pointer jump: label ← label[label] (one join against labels keyed
         # by node) — collapses chains logarithmically
         jump_side = folded.map_batches(

@@ -73,3 +73,37 @@ def agg_partitions(sf_dir: str, *tables: str) -> int:
     return for_bytes(
         _table_bytes(sf_dir, *tables), TARGET_AGG_BYTES, floor=min(8, cluster_cap())
     )
+
+
+def keyed_merge(ds, keys, kernel, n_parts: int):
+    """Merge per-batch partials whose GROUP COUNT scales with the data
+    (vocabularies, edge sets, per-hash dedup rows): hash-bucket the group
+    key into ``n_parts`` coarse partitions and run ``kernel`` (a vectorized
+    pandas reduction, e.g. ``df.groupby(keys).sum()``) once per partition.
+
+    Ray's sort aggregate pays per-group Python dispatch in its reduce —
+    measured on this box at ~1-4 ms/group (a 9.5k-group two-key groupby
+    took ~30 s; the same merge through this helper runs in under a second).
+    Here Python invocations = ``n_parts`` regardless of group cardinality,
+    and every group's rows co-locate because the partition key is a hash of
+    the group key. The same pattern `exact_dedup` / `_keyed_partitions`
+    already use, factored out for partial-aggregation merges."""
+    import numpy as np
+    import pandas as pd
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
+        df = df.copy(deep=False)
+        df["pkey"] = (h % np.uint64(n_parts)).astype(np.int64)
+        return df
+
+    def run(part: pd.DataFrame) -> pd.DataFrame:
+        return kernel(part.drop(columns=["pkey"]))
+
+    return (
+        ds.map_batches(add_pkey, batch_format="pandas")
+        .groupby("pkey")
+        .map_groups(run, batch_format="pandas")
+    )

@@ -790,8 +790,11 @@ def props_k_sum(sf_dir: str):
     """Semi-structured extraction: pull ``$.k`` out of the JSON ``props``
     column (vectorized regex — exact for the fixture's flat object shape;
     swap in a JSON kernel for nested payloads) and aggregate per user.
-    Combiner → small global groupby, as with every aggregate here."""
-    from ray.data.aggregate import Sum
+    Combiner → keyed_merge (group count = |users|, which scales with the
+    data — the sort aggregate's per-group reduce dispatch would dominate at
+    10^9 users; keyed_merge keeps Python invocations at the partition
+    count)."""
+    from .partitions import keyed_merge
 
     ds = _read(sf_dir, "events", ["user_id", "props"])
 
@@ -807,8 +810,12 @@ def props_k_sum(sf_dir: str):
         return part.groupby("user_id", sort=False)["k"].sum().reset_index(name="k_sum")
 
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
-    out = partials.repartition(agg_partitions(sf_dir, "events")).groupby("user_id").aggregate(Sum("k_sum", alias_name="k_sum"))
-    return out.select_columns(["user_id", "k_sum"])
+    return keyed_merge(
+        partials,
+        "user_id",
+        lambda df: df.groupby("user_id", as_index=False)["k_sum"].sum(),
+        agg_partitions(sf_dir, "events"),
+    )
 
 
 def props_k_sum_sql() -> str:

@@ -869,18 +869,24 @@ def token_quantiles(sf_dir: str, qs=_QUANTILES) -> pd.DataFrame:
             }
         )
 
+    from .partitions import agg_partitions, keyed_merge
+
     merged = (
-        _read_docs(sf_dir, ["text"])
-        .map_batches(hist, batch_format="pandas", batch_size=8192)
-        .groupby("n_tokens")
-        .sum("cnt")
+        keyed_merge(
+            _read_docs(sf_dir, ["text"]).map_batches(
+                hist, batch_format="pandas", batch_size=8192
+            ),
+            "n_tokens",
+            lambda df: df.groupby("n_tokens", as_index=False)["cnt"].sum(),
+            agg_partitions(sf_dir, "documents"),
+        )
         .to_pandas()  # bounded: one row per distinct token count
         .sort_values("n_tokens")
     )
     out = [
         (float(q), v)
         for q, v in _quantile_disc_reduce(
-            merged["n_tokens"].to_numpy(), merged["sum(cnt)"].to_numpy(), qs
+            merged["n_tokens"].to_numpy(), merged["cnt"].to_numpy(), qs
         )
     ]
     return pd.DataFrame(out, columns=["q", "n_tokens"]).astype(
@@ -958,18 +964,22 @@ def vocab_stats(sf_dir: str, top_m: int = 100):
             }
         )
 
-    def rename(t: "pa.Table") -> "pa.Table":
-        return t.rename_columns(["tok", "tf", "doc_freq"])
-
     def block_topm(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(["tf", "tok"], ascending=[False, True]).head(top_m)
 
+    from .partitions import agg_partitions, keyed_merge
+
+    # vocabulary cardinality scales with the corpus — merge via keyed_merge
+    # (Python dispatch = partition count), not the sort aggregate's
+    # per-group reduce
+    merged = keyed_merge(
+        ds.map_batches(partial, batch_format="pandas", batch_size=8192),
+        "tok",
+        lambda df: df.groupby("tok", as_index=False)[["tf", "doc_freq"]].sum(),
+        agg_partitions(sf_dir, "documents"),
+    )
     return (
-        ds.map_batches(partial, batch_format="pandas", batch_size=8192)
-        .groupby("tok")
-        .sum(["tf", "doc_freq"])
-        .map_batches(rename, batch_format="pyarrow")
-        .map_batches(block_topm, batch_format="pandas")
+        merged.map_batches(block_topm, batch_format="pandas")
         .repartition(1)
         .map_batches(block_topm, batch_format="pandas")
     )
@@ -1008,7 +1018,8 @@ def unigram_logprob(sf_dir: str):
     routes unseen tokens to ``ln(1/total)``); here the full vocab is kept
     so the oracle is exact."""
     import ray
-    import ray.data as rd
+
+    from .partitions import agg_partitions, keyed_merge
 
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
@@ -1028,14 +1039,17 @@ def unigram_logprob(sf_dir: str):
         )
 
     counts = (
-        ds.map_batches(partial, batch_format="pandas", batch_size=8192)
-        .groupby("tok")
-        .sum("tf")
+        keyed_merge(
+            ds.map_batches(partial, batch_format="pandas", batch_size=8192),
+            "tok",
+            lambda df: df.groupby("tok", as_index=False)["tf"].sum(),
+            agg_partitions(sf_dir, "documents"),
+        )
         .to_pandas()  # bounded by vocabulary size (top-M capped at scale)
     )
-    total = float(counts["sum(tf)"].sum())
+    total = float(counts["tf"].sum())
     logp = dict(
-        zip(counts["tok"].to_numpy(), np.log(counts["sum(tf)"].to_numpy() / total))
+        zip(counts["tok"].to_numpy(), np.log(counts["tf"].to_numpy() / total))
     )
     oov = np.log(1.0 / total) if total else 0.0
     ref = ray.put((logp, oov))
@@ -1141,17 +1155,22 @@ def bigram_logprob(sf_dir: str):
         out.columns = ["w1", "w2", "c"]
         return out.astype({"c": "int64"})
 
+    from .partitions import agg_partitions, keyed_merge
+
     counts = (
-        ds.map_batches(partial, batch_format="pandas", batch_size=8192)
-        .groupby(["w1", "w2"])
-        .sum("c")
+        keyed_merge(
+            ds.map_batches(partial, batch_format="pandas", batch_size=8192),
+            ["w1", "w2"],
+            lambda df: df.groupby(["w1", "w2"], as_index=False)["c"].sum(),
+            agg_partitions(sf_dir, "documents"),
+        )
         .to_pandas()  # bounded by bigram vocabulary (top-M capped at scale)
     )
     # tokens are whitespace-split, so ' ' can never occur inside one —
     # a space-joined key is collision-free
     bkey = counts["w1"].astype(str) + " " + counts["w2"].astype(str)
-    bcount = dict(zip(bkey, counts["sum(c)"].astype(float)))
-    pcount = counts.groupby("w1", sort=False)["sum(c)"].sum()
+    bcount = dict(zip(bkey, counts["c"].astype(float)))
+    pcount = counts.groupby("w1", sort=False)["c"].sum()
     pcount = dict(zip(pcount.index.astype(str), pcount.astype(float)))
     ref = ray.put((bcount, pcount))
 
@@ -1245,18 +1264,26 @@ def token_quantiles_by_lang(sf_dir: str, qs=_QUANTILES) -> pd.DataFrame:
         out.columns = ["lang", "n_tokens", "cnt"]
         return out.astype({"n_tokens": "int64", "cnt": "int64"})
 
+    from .partitions import agg_partitions, keyed_merge
+
     merged = (
-        _read_docs(sf_dir, ["lang", "text"])
-        .map_batches(hist, batch_format="pandas", batch_size=8192)
-        .groupby(["lang", "n_tokens"])
-        .sum("cnt")
+        keyed_merge(
+            _read_docs(sf_dir, ["lang", "text"]).map_batches(
+                hist, batch_format="pandas", batch_size=8192
+            ),
+            ["lang", "n_tokens"],
+            lambda df: df.groupby(["lang", "n_tokens"], as_index=False)[
+                "cnt"
+            ].sum(),
+            agg_partitions(sf_dir, "documents"),
+        )
         .to_pandas()  # bounded: |langs| × distinct token counts
         .sort_values(["lang", "n_tokens"])
     )
     rows = []
     for lang, part in merged.groupby("lang", sort=True):
         for q, v in _quantile_disc_reduce(
-            part["n_tokens"].to_numpy(), part["sum(cnt)"].to_numpy(), qs
+            part["n_tokens"].to_numpy(), part["cnt"].to_numpy(), qs
         ):
             rows.append((lang, float(q), v))
     return pd.DataFrame(rows, columns=["lang", "q", "n_tokens"]).astype(
