@@ -59,3 +59,59 @@ def test_actor_pool_limits_derivation():
     assert actor_pool_limits(cores=512) == (64, 256)
     lo, hi = actor_pool_limits()  # cluster-derived path: sane and ordered
     assert 2 <= lo <= hi
+
+
+def test_keyed_merge_equals_plain_groupby(ray_session):
+    """keyed_merge (hash-bucketed partial merge) must equal a plain pandas
+    groupby over the same partials, for single- and multi-key group keys,
+    across a multi-block dataset — and the pkey assignment must be
+    deterministic so every group's rows co-locate."""
+    import pandas as pd
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "k1": rng.integers(0, 500, 4000),
+            "k2": [f"s{i}" for i in rng.integers(0, 7, 4000)],
+            "v": rng.integers(1, 100, 4000),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(13)  # force cross-block groups
+
+    got = (
+        P.keyed_merge(
+            ds,
+            ["k1", "k2"],
+            lambda d: d.groupby(["k1", "k2"], as_index=False)["v"].sum(),
+            5,
+        )
+        .to_pandas()
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby(["k1", "k2"], as_index=False)["v"]
+        .sum()
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype(want.dtypes.to_dict()), want
+    )
+
+    got1 = (
+        P.keyed_merge(
+            ds,
+            "k1",
+            lambda d: d.groupby("k1", as_index=False)["v"].max(),
+            5,
+        )
+        .to_pandas()
+        .sort_values("k1")
+        .reset_index(drop=True)
+    )
+    want1 = (
+        df.groupby("k1", as_index=False)["v"].max().sort_values("k1").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got1.astype(want1.dtypes.to_dict()), want1)
