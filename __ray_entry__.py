@@ -92,6 +92,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": T.chunk_documents,
         # sketch × window composition: per-hour HLL registers over users
         "events_hll_hourly": R.events_hll_hourly,
+        # SemDeDup-style within-cluster semantic dedup (new r5)
+        "semdedup": S.semdedup,
+        # cohort retention matrix (new r5): first-day cohorts × day offsets
+        "events_retention": R.events_retention,
         # relational operators (SURVEY §2.2/2.4/2.5/2.6/2.7)
         "q1_pricing_summary": R.q1_pricing_summary,
         "filter_project": R.filter_project,
@@ -201,6 +205,8 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": C.hll_distinct_sql(_SF_ORACLE),
         "chunk_documents": T.chunk_documents_sql(),
         "events_hll_hourly": R.events_hll_hourly_sql(),
+        "semdedup": S.semdedup_sql(_SF_ORACLE),
+        "events_retention": R.events_retention_sql(),
         "q1_pricing_summary": R.q1_sql(),
         "filter_project": R.filter_project_sql(),
         "segment_revenue": R.segment_revenue_sql(),

@@ -1227,3 +1227,58 @@ def events_hll_hourly_sql() -> str:
            CAST(MAX(CASE WHEN rem = 0 THEN 53 ELSE 53 - LENGTH(bin(rem)) END) AS BIGINT) AS max_rank
     FROM b GROUP BY window_start, bucket
     """
+
+
+# --------------------------------------------------------------------------- #
+def events_retention(sf_dir: str):
+    """Cohort retention matrix — the product-analytics staple: users are
+    cohorted by their first active day; for each (cohort_day, day_offset)
+    cell, count the distinct users active exactly that many days after
+    their cohort day. Days are epoch-days (BIGINT) like every window column
+    that leaves this module.
+
+    Scale shape: ONE coarse hash exchange on user_id (`_keyed_partitions`)
+    co-locates every row of a user, so the per-partition kernel computes
+    each user's first day and distinct (cohort, offset) cells locally and
+    emits exact partial counts — no second pass joins users back to their
+    cohort. The final groupby is calendar-bounded (cohorts × offsets ≤
+    days²), not data-bounded, so the plain aggregate is safe at any scale."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(part: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "user_id": part["user_id"].to_numpy(),
+                # µs epoch → epoch-day; timestamps are positive, so integer
+                # division truncation == floor (same trick as events_hourly)
+                "day": part["ts"].astype("int64").to_numpy() // (86400 * 1_000_000),
+            }
+        )
+        df["cohort_day"] = df.groupby("user_id")["day"].transform("min")
+        df["day_offset"] = df["day"] - df["cohort_day"]
+        u = df.drop_duplicates(["user_id", "cohort_day", "day_offset"])
+        g = u.groupby(["cohort_day", "day_offset"], as_index=False).size()
+        return g.rename(columns={"size": "n_users"})
+
+    partials = _keyed_partitions(ds, "user_id", partial, _table_rows(sf_dir, "events"))
+    return partials.groupby(["cohort_day", "day_offset"]).aggregate(
+        Sum("n_users", alias_name="n_users")
+    )
+
+
+def events_retention_sql() -> str:
+    return """
+    WITH d AS (
+        SELECT user_id, CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS day
+        FROM events
+    ), f AS (
+        SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id
+    ), act AS (
+        SELECT DISTINCT d.user_id, f.cohort_day, d.day - f.cohort_day AS day_offset
+        FROM d JOIN f USING (user_id)
+    )
+    SELECT cohort_day, day_offset, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM act GROUP BY 1, 2
+    """

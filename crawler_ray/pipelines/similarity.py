@@ -889,3 +889,89 @@ def embed_clusters_sql(sf_dir: str, n_centroids: int = 16, train_sample: int = 4
         FROM scored
     ) WHERE rk = 1
     """
+
+
+# --------------------------------------------------------------------------- #
+# SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv:2303.09540):
+# cluster the embedding space, then drop any vector whose cosine similarity to
+# an EARLIER vector (lower vec_id) in the same cluster clears a threshold.
+
+
+def semdedup(sf_dir: str, threshold: float = 0.4, n_centroids: int = 16, train_sample: int = 4096):
+    """Semantic dedup over the embedding table: every vector is labeled
+    ``dropped`` iff some earlier (lower ``vec_id``) vector in its k-means
+    cluster has rounded cosine similarity ≥ ``threshold``; ``dup_of`` is the
+    smallest such earlier vec_id (-1 when kept). The drop rule is the
+    deterministic "similar to ANY earlier doc" variant of SemDeDup's
+    within-cluster pruning, chosen because it is order-free and exactly
+    re-checkable in SQL (the paper's greedy keep-set variant depends on scan
+    order).
+
+    Scale shape: rides the build-once IVF store, so assignment costs
+    nothing here; the only exchange hash-buckets whole clusters into coarse
+    partitions (`keyed_merge` — Python dispatch = partition count even at
+    10^6 clusters), and each cluster pays one c×c gram matrix. At 100 TB
+    the cluster count grows with the data (SemDeDup uses ~100k clusters for
+    LAION-scale), keeping c bounded — the quadratic term never sees the
+    whole table. Default threshold matches `embedding_dup_pairs`: the
+    synthetic fixtures top out at cosine ≈ 0.51."""
+    import ray.data as rd
+
+    from .partitions import agg_partitions, keyed_merge
+
+    index_dir, _ = ensure_ivf_index(sf_dir, n_centroids, train_sample)
+    ds = rd.read_parquet(index_dir, columns=["vec_id", "embedding", "cell_id"])
+
+    def per_cluster(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for cell, g in df.groupby("cell_id", sort=False):
+            g = g.sort_values("vec_id")
+            ids = g["vec_id"].to_numpy()
+            m = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
+            # strictly-lower triangle == "earlier vec_id" after the sort;
+            # rounded before the compare so the SQL oracle's ROUND(...) >= t
+            # sees the identical decision boundary
+            hit = np.tril(round_np(m @ m.T, 6) >= threshold, k=-1)
+            dropped = hit.any(axis=1)
+            # argmax on a boolean row = first True = smallest earlier vec_id
+            dup_of = np.where(dropped, ids[np.argmax(hit, axis=1)], -1)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": ids,
+                        "cell": np.int64(cell),
+                        "dropped": dropped,
+                        "dup_of": dup_of.astype(np.int64),
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return keyed_merge(ds, "cell_id", per_cluster, agg_partitions(sf_dir, "embeddings"))
+
+
+def semdedup_sql(sf_dir: str, threshold: float = 0.4, n_centroids: int = 16, train_sample: int = 4096) -> str:
+    """Artifact oracle for :func:`semdedup`: cluster assignment is read from
+    the IVF store's hive partition column; the within-cluster pair scan, the
+    cosine math, the threshold decision and the MIN(earlier) pick are all
+    recomputed independently in SQL. Same ~1-ulp caveat as the other cosine
+    oracles: LIST_COSINE_SIMILARITY vs the engine's normalized float64
+    matmul could disagree for a pair EXACTLY on the rounded boundary —
+    deterministic on these fixtures."""
+    index_dir, _ = ensure_ivf_index(sf_dir, n_centroids, train_sample)
+    return f"""
+    WITH a AS (
+        SELECT vec_id, CAST(cell AS BIGINT) AS cell,
+               CAST(embedding AS DOUBLE[]) AS emb
+        FROM read_parquet('{index_dir}/cell=*/*.parquet', hive_partitioning = 1)
+    ), hits AS (
+        SELECT r.vec_id, MIN(l.vec_id) AS dup_of
+        FROM a l JOIN a r ON l.cell = r.cell AND l.vec_id < r.vec_id
+        WHERE ROUND(LIST_COSINE_SIMILARITY(l.emb, r.emb), 6) >= {threshold!r}
+        GROUP BY r.vec_id
+    )
+    SELECT a.vec_id, a.cell,
+           h.vec_id IS NOT NULL AS dropped,
+           COALESCE(h.dup_of, CAST(-1 AS BIGINT)) AS dup_of
+    FROM a LEFT JOIN hits h ON h.vec_id = a.vec_id
+    """

@@ -46,6 +46,7 @@ SQL_CHECKED = [
     "token_quantiles_by_lang",
     "vocab_stats",
     "stratified_sample",
+    "events_retention",
 ]
 
 
@@ -621,6 +622,7 @@ ARTIFACT_SQL_CHECKED = [
     "ann_lsh",
     "ann_ivf",
     "embed_clusters",
+    "semdedup",
 ]
 
 
