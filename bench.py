@@ -410,6 +410,8 @@ def extra_query_suite(warm: bool = True) -> tuple[dict, float]:
         ("hll_distinct", C.hll_distinct),
         ("chunk_documents", T.chunk_documents),
         ("events_hll_hourly", R.events_hll_hourly),
+        ("semdedup", S.semdedup),
+        ("events_retention", R.events_retention),
     ]
     warm_sec = 0.0
     if warm:
