@@ -96,6 +96,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": S.semdedup,
         # cohort retention matrix (new r5): first-day cohorts × day offsets
         "events_retention": R.events_retention,
+        # per-group window rank over all rows (new r5)
+        "order_rank_in_customer": R.order_rank_in_customer,
         # relational operators (SURVEY §2.2/2.4/2.5/2.6/2.7)
         "q1_pricing_summary": R.q1_pricing_summary,
         "filter_project": R.filter_project,
@@ -207,6 +209,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hll_hourly": R.events_hll_hourly_sql(),
         "semdedup": S.semdedup_sql(_SF_ORACLE),
         "events_retention": R.events_retention_sql(),
+        "order_rank_in_customer": R.order_rank_in_customer_sql(),
         "q1_pricing_summary": R.q1_sql(),
         "filter_project": R.filter_project_sql(),
         "segment_revenue": R.segment_revenue_sql(),

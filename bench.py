@@ -412,6 +412,7 @@ def extra_query_suite(warm: bool = True) -> tuple[dict, float]:
         ("events_hll_hourly", R.events_hll_hourly),
         ("semdedup", S.semdedup),
         ("events_retention", R.events_retention),
+        ("order_rank_in_customer", R.order_rank_in_customer),
     ]
     warm_sec = 0.0
     if warm:

@@ -1282,3 +1282,49 @@ def events_retention_sql() -> str:
     SELECT cohort_day, day_offset, CAST(COUNT(*) AS BIGINT) AS n_users
     FROM act GROUP BY 1, 2
     """
+
+
+# --------------------------------------------------------------------------- #
+def order_rank_in_customer(sf_dir: str):
+    """Per-group window RANK (ROW_NUMBER per partition) — the general
+    "rank every row within its key" operator next to the existing grouped
+    TOP-K (`top_docs_per_source` keeps k rows; this keeps them all, with
+    their position). Reference analogue: the per-host priority ordering the
+    crawl scheduler applies to its frontier (`stages/select.py`),
+    generalized to a relational surface.
+
+    Scale shape: ONE coarse hash exchange on the customer key
+    (`_keyed_partitions`) co-locates all of a customer's orders, then one
+    mergesort per partition and a vectorized ``arange - segment_start``
+    assigns every rank — Python invocations = partition count, not customer
+    count. Ranking reads only the ordering columns; no payload moves."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def rank(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        _, starts, lens = _seg_bounds(g["o_custkey"].to_numpy())
+        pos = np.arange(len(g), dtype="int64")
+        rnk = pos - np.repeat(starts, lens) + 1
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].to_numpy(),
+                "o_custkey": g["o_custkey"].to_numpy(),
+                "rnk": rnk,
+            }
+        )
+
+    return _keyed_partitions(ds, "o_custkey", rank, _table_rows(sf_dir, "orders"))
+
+
+def order_rank_in_customer_sql() -> str:
+    return """
+    SELECT o_orderkey, o_custkey,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+           ) AS BIGINT) AS rnk
+    FROM orders
+    """

@@ -47,6 +47,7 @@ SQL_CHECKED = [
     "vocab_stats",
     "stratified_sample",
     "events_retention",
+    "order_rank_in_customer",
 ]
 
 
