@@ -413,6 +413,7 @@ def extra_query_suite(warm: bool = True) -> tuple[dict, float]:
         ("semdedup", S.semdedup),
         ("events_retention", R.events_retention),
         ("order_rank_in_customer", R.order_rank_in_customer),
+        ("bloom_semi_join", R.bloom_semi_join),
     ]
     warm_sec = 0.0
     if warm:

@@ -1328,3 +1328,108 @@ def order_rank_in_customer_sql() -> str:
            ) AS BIGINT) AS rnk
     FROM orders
     """
+
+
+# --------------------------------------------------------------------------- #
+def _bloom_positions(keys: np.ndarray, m_bits: int, n_hashes: int) -> np.ndarray:
+    """Vectorized Bloom bit positions for int64 keys: two splitmix64-style
+    mixes + double hashing ((h1 + i·h2) mod m) — shape (n_hashes, len(keys))."""
+    with np.errstate(over="ignore"):
+        x = keys.astype(np.uint64)
+
+        def mix(v: np.ndarray, salt: int) -> np.ndarray:
+            v = v + np.uint64(salt)
+            v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            return v ^ (v >> np.uint64(31))
+
+        h1 = mix(x, 0x9E3779B97F4A7C15)
+        h2 = mix(x, 0xD1B54A32D192ED03) | np.uint64(1)  # odd → full-period stride
+        i = np.arange(n_hashes, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + i * h2[None, :]) % np.uint64(m_bits)).astype(np.int64)
+
+
+def bloom_semi_join(
+    sf_dir: str, min_total: float = 400_000.0, m_bits: int = 1 << 20, n_hashes: int = 4
+):
+    """BLOOM-FILTER SEMI JOIN — the join-reduction pattern a 100 TB engine
+    leans on when the build side's key set is too big to broadcast exactly:
+    lineitem ⋉ (orders WHERE o_totalprice > min_total).
+
+    Three phases, result EXACT (the Bloom filter only prunes; a hash join
+    removes its false positives):
+
+      1. build — scan the qualifying order keys once and fold per-batch
+         partial Bloom bitmaps (numpy uint64 words, OR is associative and
+         commutative) into one filter. The fold input is one m/8-byte row
+         per BLOCK, not per key — bounded by block count; at 10^9+ build
+         keys, raise ``m_bits`` (bits/key ≈ m/n sets the FP rate) and fold
+         through `ray.util` tree-reduce instead of the driver.
+      2. probe — every lineitem batch tests its keys against the broadcast
+         bitmap (`ray.put` once, read per actor-task) with vectorized
+         double hashing; non-members drop BEFORE any shuffle, so the
+         verification join moves |matches| + ε·|lineitem| rows, not the
+         whole fact table.
+      3. verify — hash-partitioned inner join of the survivors against the
+         true key set (unique build keys ⇒ inner ≡ semi) removes the ε
+         false positives exactly.
+
+    Reference analogue: the crawler's approximate URL-seen membership gate
+    (`state/seen.py` cuckoo pre-filter + exact confirm), re-expressed as a
+    relational join reducer."""
+    import ray
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], pa.scalar(min_total)))
+        .select(["o_orderkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    n_words = m_bits // 64
+
+    def partial_bloom(t: pa.Table) -> pd.DataFrame:
+        words = np.zeros(n_words, dtype=np.uint64)
+        keys = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        pos = _bloom_positions(keys, m_bits, n_hashes).ravel()
+        np.bitwise_or.at(words, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64))
+        return pd.DataFrame({"words": [words]})
+
+    # one row per block; the driver ORs O(blocks) bitmaps, not O(keys) rows
+    parts = orders.map_batches(partial_bloom, batch_format="pyarrow").take_all()
+    bloom = np.zeros(n_words, dtype=np.uint64)
+    for row in parts:
+        bloom |= np.asarray(row["words"], dtype=np.uint64)
+    bloom_ref = ray.put(bloom)
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def probe(t: pa.Table) -> pa.Table:
+        words = ray.get(bloom_ref)
+        keys = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        pos = _bloom_positions(keys, m_bits, n_hashes)
+        hit = np.ones(len(keys), dtype=bool)
+        for i in range(n_hashes):
+            p = pos[i]
+            hit &= (words[p >> 6] >> (p & 63).astype(np.uint64)) & np.uint64(1) != 0
+        return t.filter(pa.array(hit))
+
+    survivors = li.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+    verified = survivors.join(
+        orders,
+        join_type="inner",
+        num_partitions=join_partitions(sf_dir, "orders"),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    return verified.select_columns(["l_orderkey", "l_linenumber", "l_quantity"])
+
+
+def bloom_semi_join_sql(min_total: float = 400_000.0) -> str:
+    return f"""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders WHERE o_totalprice > {min_total}
+    )
+    """

@@ -48,6 +48,7 @@ SQL_CHECKED = [
     "stratified_sample",
     "events_retention",
     "order_rank_in_customer",
+    "bloom_semi_join",
 ]
 
 
