@@ -100,6 +100,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_rank_in_customer": R.order_rank_in_customer,
         # bloom-filter join reduction with exact verification (new r5)
         "bloom_semi_join": R.bloom_semi_join,
+        # multi-level ROLLUP hierarchy aggregate (new r5)
+        "revenue_rollup": R.revenue_rollup,
         # relational operators (SURVEY §2.2/2.4/2.5/2.6/2.7)
         "q1_pricing_summary": R.q1_pricing_summary,
         "filter_project": R.filter_project,
@@ -213,6 +215,7 @@ def oracle_sql() -> dict[str, str]:
         "events_retention": R.events_retention_sql(),
         "order_rank_in_customer": R.order_rank_in_customer_sql(),
         "bloom_semi_join": R.bloom_semi_join_sql(),
+        "revenue_rollup": R.revenue_rollup_sql(),
         "q1_pricing_summary": R.q1_sql(),
         "filter_project": R.filter_project_sql(),
         "segment_revenue": R.segment_revenue_sql(),

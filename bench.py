@@ -414,6 +414,7 @@ def extra_query_suite(warm: bool = True) -> tuple[dict, float]:
         ("events_retention", R.events_retention),
         ("order_rank_in_customer", R.order_rank_in_customer),
         ("bloom_semi_join", R.bloom_semi_join),
+        ("revenue_rollup", R.revenue_rollup),
     ]
     warm_sec = 0.0
     if warm:

@@ -1433,3 +1433,108 @@ def bloom_semi_join_sql(min_total: float = 400_000.0) -> str:
         SELECT o_orderkey FROM orders WHERE o_totalprice > {min_total}
     )
     """
+
+
+# --------------------------------------------------------------------------- #
+def revenue_rollup(sf_dir: str):
+    """Multi-level ROLLUP aggregate (region → nation → grand total) — the
+    OLAP cube primitive: one fact-table pass produces every level of the
+    hierarchy.
+
+    Scale shape: ONE hash-partitioned large join (orders ⋈ customer on the
+    customer key) attaches the grouping hierarchy; nation→region names are
+    a broadcast lookup (O(25) rows — a shuffle join would be waste);
+    per-batch combiners collapse each block to ≤ |nations| partial rows
+    BEFORE the grouped sum, so the rollup's exchange is O(nations × blocks).
+    The super-aggregate levels are derived from the 25-row leaf aggregate in
+    a single-partition finalize — hierarchy math never re-touches the fact
+    table. Money rides exact integer cents."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=join_partitions(sf_dir, "orders", "customer"),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nr = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    ref = ray.put(
+        (
+            pa.array(nr["n_nationkey"].to_numpy()),
+            pa.array(nr["n_name"].to_numpy(dtype=object), pa.string()),
+            pa.array(nr["r_name"].to_numpy(dtype=object), pa.string()),
+        )
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        nk, n_names, r_names = ray.get(ref)
+        idx = pc.index_in(t["c_nationkey"].combine_chunks(), value_set=nk)
+        cents = round_np(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype("int64")
+        t2 = pa.table(
+            {
+                "region": pc.take(r_names, idx),
+                "nation": pc.take(n_names, idx),
+                "cents": pa.array(cents),
+                "n_orders": pa.array(np.ones(len(cents), dtype="int64")),
+            }
+        )
+        return t2.group_by(["region", "nation"], use_threads=False).aggregate(
+            [("cents", "sum"), ("n_orders", "sum")]
+        ).rename_columns(["region", "nation", "cents", "n_orders"])
+
+    leaf = (
+        j.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["region", "nation"])
+        .aggregate(Sum("cents", alias_name="cents"), Sum("n_orders", alias_name="n_orders"))
+    )
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        lvl0 = df[["region", "nation", "cents", "n_orders"]]
+        lvl1 = (
+            df.groupby("region", as_index=False)[["cents", "n_orders"]]
+            .sum()
+            .assign(nation="ALL")
+        )
+        lvl2 = pd.DataFrame(
+            {
+                "region": ["ALL"],
+                "nation": ["ALL"],
+                "cents": [df["cents"].sum()],
+                "n_orders": [df["n_orders"].sum()],
+            }
+        )
+        out = pd.concat([lvl0, lvl1, lvl2], ignore_index=True)
+        return pd.DataFrame(
+            {
+                "region": out["region"],
+                "nation": out["nation"],
+                "n_orders": out["n_orders"].astype("int64"),
+                "revenue": out["cents"].to_numpy(dtype="int64") / 100.0,
+            }
+        )
+
+    # |nations| leaf rows: the hierarchy finalize is one tiny partition
+    return leaf.repartition(1).map_batches(rollup, batch_format="pandas")
+
+
+def revenue_rollup_sql() -> str:
+    return """
+    SELECT COALESCE(r_name, 'ALL') AS region,
+           COALESCE(n_name, 'ALL') AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """

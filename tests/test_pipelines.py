@@ -49,6 +49,7 @@ SQL_CHECKED = [
     "events_retention",
     "order_rank_in_customer",
     "bloom_semi_join",
+    "revenue_rollup",
 ]
 
 
