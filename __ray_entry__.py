@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join": R.bloom_semi_join,
         # multi-level ROLLUP hierarchy aggregate (new r5)
         "revenue_rollup": R.revenue_rollup,
+        # page-graph -> host-graph contraction with distinct-target counts (new r5)
+        "host_graph": C.host_graph,
         # relational operators (SURVEY §2.2/2.4/2.5/2.6/2.7)
         "q1_pricing_summary": R.q1_pricing_summary,
         "filter_project": R.filter_project,
@@ -216,6 +218,7 @@ def oracle_sql() -> dict[str, str]:
         "order_rank_in_customer": R.order_rank_in_customer_sql(),
         "bloom_semi_join": R.bloom_semi_join_sql(),
         "revenue_rollup": R.revenue_rollup_sql(),
+        "host_graph": C.host_graph_sql(_SF_ORACLE),
         "q1_pricing_summary": R.q1_sql(),
         "filter_project": R.filter_project_sql(),
         "segment_revenue": R.segment_revenue_sql(),

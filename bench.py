@@ -415,6 +415,7 @@ def extra_query_suite(warm: bool = True) -> tuple[dict, float]:
         ("order_rank_in_customer", R.order_rank_in_customer),
         ("bloom_semi_join", R.bloom_semi_join),
         ("revenue_rollup", R.revenue_rollup),
+        ("host_graph", C.host_graph),
     ]
     warm_sec = 0.0
     if warm:

@@ -496,3 +496,73 @@ def hll_distinct_sql(sf_dir: str) -> str:
                          ELSE {rb + 1} - LENGTH(bin(rem)) END) AS BIGINT) AS max_rank
     FROM b GROUP BY bucket
     """
+
+
+_HOST_RE = re.compile(r"^[a-z]+://([^/]+)")
+
+
+def host_graph(sf_dir: str):
+    """Host-level web graph — the classic page-graph → host-graph
+    contraction (the granularity crawl schedulers, politeness budgets and
+    spam analyses operate at): every extracted link becomes a
+    (src_host, dst_host) edge with its link count and distinct-target
+    count.
+
+    Scale shape: link extraction streams (same vectorized span explode as
+    `corpus_links`); the contraction is ONE coarse hash exchange on the
+    host PAIR via `keyed_merge` — edge-group cardinality scales with the
+    data (hosts²), exactly the shape Ray's per-group sort aggregate pays
+    ~ms/group Python dispatch for, while here kernel invocations =
+    partition count. DISTINCT dst needs the pair's raw rows co-located
+    (distinct partials don't add), which the pair-hash partitioning
+    guarantees; n_links alone could pre-combine per batch — kept raw so
+    one exchange serves both aggregates."""
+    import pandas as pd
+
+    from .partitions import for_rows, keyed_merge
+
+    links = corpus_links(sf_dir).select_columns(["src", "dst", "dst_host"])
+
+    def add_src_host(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src_host": df["src"].str.extract(_HOST_RE, expand=False),
+                "dst_host": df["dst_host"],
+                "dst": df["dst"],
+            }
+        )
+
+    def contract(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(["src_host", "dst_host"], as_index=False).agg(
+            n_links=("dst", "size"), n_unique_dst=("dst", "nunique")
+        )
+        g["n_links"] = g["n_links"].astype("int64")
+        g["n_unique_dst"] = g["n_unique_dst"].astype("int64")
+        return g
+
+    with_src = links.map_batches(add_src_host, batch_format="pandas")
+    n_rows = _corpus_meta_rows(sf_dir)
+    return keyed_merge(
+        with_src,
+        ["src_host", "dst_host"],
+        contract,
+        for_rows(n_rows, 500_000, floor=4),
+    )
+
+
+def _corpus_meta_rows(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(corpus_for_sf(sf_dir)).num_rows
+
+
+def host_graph_sql(sf_dir: str) -> str:
+    return f"""
+    WITH links AS ({corpus_links_sql(sf_dir)})
+    SELECT REGEXP_EXTRACT(src, '^[a-z]+://([^/]+)', 1) AS src_host,
+           dst_host,
+           CAST(COUNT(*) AS BIGINT) AS n_links,
+           CAST(COUNT(DISTINCT dst) AS BIGINT) AS n_unique_dst
+    FROM links
+    GROUP BY 1, 2
+    """

@@ -73,6 +73,7 @@ def test_query_matches_duckdb(name, ray_session):
         "media_dedup",
         "crawl_bfs",
         "pagerank",
+        "host_graph",
     ],
 )
 def test_corpus_query_matches_duckdb(name, ray_session):
