@@ -104,6 +104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_rollup": R.revenue_rollup,
         # page-graph -> host-graph contraction with distinct-target counts (new r5)
         "host_graph": C.host_graph,
+        # PMI collocation mining over the document corpus (new r5)
+        "bigram_pmi": T.bigram_pmi,
         # relational operators (SURVEY §2.2/2.4/2.5/2.6/2.7)
         "q1_pricing_summary": R.q1_pricing_summary,
         "filter_project": R.filter_project,
@@ -219,6 +221,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_semi_join": R.bloom_semi_join_sql(),
         "revenue_rollup": R.revenue_rollup_sql(),
         "host_graph": C.host_graph_sql(_SF_ORACLE),
+        "bigram_pmi": T.bigram_pmi_sql(),
         "q1_pricing_summary": R.q1_sql(),
         "filter_project": R.filter_project_sql(),
         "segment_revenue": R.segment_revenue_sql(),

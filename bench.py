@@ -416,6 +416,7 @@ def extra_query_suite(warm: bool = True) -> tuple[dict, float]:
         ("bloom_semi_join", R.bloom_semi_join),
         ("revenue_rollup", R.revenue_rollup),
         ("host_graph", C.host_graph),
+        ("bigram_pmi", T.bigram_pmi),
     ]
     warm_sec = 0.0
     if warm:

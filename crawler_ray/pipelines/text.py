@@ -1435,3 +1435,131 @@ def chunk_documents_sql(size: int = 64, stride: int = 48) -> str:
            md5(array_to_string(toks[start + 1 : LEAST(start + {size}, n)], ' ')) AS chunk_md5
     FROM s
     """
+
+
+# --------------------------------------------------------------------------- #
+def bigram_pmi(sf_dir: str, min_count: int = 5, k: int = 50):
+    """Collocation mining — top-k bigrams by pointwise mutual information
+    ``ln(c(w1,w2)·N / (c(w1)·c(w2)))`` with a min-count floor (Church &
+    Hanks '90; the phrase-vocabulary builder for tokenizer/embedding
+    training over a 100 TB corpus).
+
+    Scale shape: bigram and unigram counts come from the SAME vectorized
+    explode kernels the LM scorers use (per-batch combiner → `keyed_merge`
+    grouped sum, kernel invocations = partition count); the PMI math runs
+    on the merged count tables, bounded by vocabulary (cap at top-M with a
+    count floor at scale — the `min_count` gate already drops the long
+    tail, which is also where PMI is statistically meaningless). Selection
+    orders by the exact double PMI with a (w1, w2) tiebreak so engine and
+    oracle cut the same k rows."""
+    import ray  # noqa: F401  (parity with sibling pipelines' lazy imports)
+
+    from .partitions import agg_partitions, keyed_merge
+    from .rounding import round_np
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def _tokens(df: pd.DataFrame) -> pd.Series:
+        ex = df.reset_index(drop=True)["text"].fillna("").str.lower().str.split().explode()
+        return ex[ex.notna()]
+
+    def bigram_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = _tokens(df)
+        if not len(ex):
+            return pd.DataFrame(
+                {
+                    "w1": pd.Series([], dtype="string"),
+                    "w2": pd.Series([], dtype="string"),
+                    "c": pd.Series([], dtype="int64"),
+                }
+            )
+        w2 = ex.groupby(level=0).shift(-1)
+        keep = w2.notna()
+        big = pd.DataFrame({"w1": ex[keep].to_numpy(), "w2": w2[keep].to_numpy()})
+        out = big.groupby(["w1", "w2"], sort=False).size().reset_index()
+        out.columns = ["w1", "w2", "c"]
+        return out.astype({"c": "int64"})
+
+    def unigram_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = _tokens(df)
+        out = ex.groupby(ex.to_numpy()).size().reset_index() if len(ex) else None
+        if out is None:
+            return pd.DataFrame(
+                {"w": pd.Series([], dtype="string"), "c": pd.Series([], dtype="int64")}
+            )
+        out.columns = ["w", "c"]
+        return out.astype({"c": "int64"})
+
+    n_parts = agg_partitions(sf_dir, "documents")
+    bc = keyed_merge(
+        ds.map_batches(bigram_partial, batch_format="pandas", batch_size=8192),
+        ["w1", "w2"],
+        lambda df: df.groupby(["w1", "w2"], as_index=False)["c"].sum(),
+        n_parts,
+    ).to_pandas()  # bounded by bigram vocabulary above the count floor
+    uc = keyed_merge(
+        ds.map_batches(unigram_partial, batch_format="pandas", batch_size=8192),
+        "w",
+        lambda df: df.groupby("w", as_index=False)["c"].sum(),
+        n_parts,
+    ).to_pandas()
+    n_tokens = float(uc["c"].sum())
+
+    cand = bc[bc["c"] >= min_count].copy()
+    u = dict(zip(uc["w"].astype(str), uc["c"].astype(float)))
+    c = cand["c"].to_numpy(dtype=float)
+    c1 = cand["w1"].map(u).to_numpy(dtype=float)
+    c2 = cand["w2"].map(u).to_numpy(dtype=float)
+    # EXACT oracle arithmetic order: (c·N) / (c1·c2), then LN
+    cand["pmi_raw"] = np.log((c * n_tokens) / (c1 * c2))
+    cand = cand.sort_values(
+        ["pmi_raw", "w1", "w2"], ascending=[False, True, True], kind="mergesort"
+    ).head(k)
+    return pd.DataFrame(
+        {
+            "w1": cand["w1"].to_numpy(),
+            "w2": cand["w2"].to_numpy(),
+            "n_pairs": cand["c"].to_numpy().astype("int64"),
+            "pmi": round_np(cand["pmi_raw"].to_numpy(), 6),
+        }
+    )
+
+
+def bigram_pmi_sql(min_count: int = 5, k: int = 50) -> str:
+    return rf"""
+    WITH d AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+    tl AS (
+        SELECT doc_id,
+               LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'),
+                           x -> x <> '') AS toks
+        FROM d
+    ),
+    toks AS (
+        SELECT doc_id, UNNEST(toks) AS tok, GENERATE_SUBSCRIPTS(toks, 1) AS pos
+        FROM tl
+    ),
+    uc AS (SELECT tok AS w, CAST(COUNT(*) AS DOUBLE) AS c FROM toks GROUP BY tok),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks),
+    big AS (
+        SELECT doc_id, tok AS w1,
+               LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM toks
+        QUALIFY w2 IS NOT NULL
+    ),
+    bc AS (
+        SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM big GROUP BY w1, w2
+        HAVING COUNT(*) >= {min_count}
+    ),
+    scored AS (
+        SELECT bc.w1, bc.w2, bc.c,
+               LN((bc.c * (SELECT n FROM n)) / (u1.c * u2.c)) AS pmi_raw
+        FROM bc
+        JOIN uc u1 ON u1.w = bc.w1
+        JOIN uc u2 ON u2.w = bc.w2
+    )
+    SELECT w1, w2, CAST(c AS BIGINT) AS n_pairs, ROUND(pmi_raw, 6) AS pmi
+    FROM scored
+    ORDER BY pmi_raw DESC, w1, w2
+    LIMIT {k}
+    """

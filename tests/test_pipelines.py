@@ -50,6 +50,7 @@ SQL_CHECKED = [
     "order_rank_in_customer",
     "bloom_semi_join",
     "revenue_rollup",
+    "bigram_pmi",
 ]
 
 
