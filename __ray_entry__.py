@@ -106,6 +106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_graph": C.host_graph,
         # PMI collocation mining over the document corpus (new r5)
         "bigram_pmi": T.bigram_pmi,
+        # within-session event-type path (k-gram) counting (new r5)
+        "events_paths": R.events_paths,
         # relational operators (SURVEY §2.2/2.4/2.5/2.6/2.7)
         "q1_pricing_summary": R.q1_pricing_summary,
         "filter_project": R.filter_project,
@@ -222,6 +224,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_rollup": R.revenue_rollup_sql(),
         "host_graph": C.host_graph_sql(_SF_ORACLE),
         "bigram_pmi": T.bigram_pmi_sql(),
+        "events_paths": R.events_paths_sql(),
         "q1_pricing_summary": R.q1_sql(),
         "filter_project": R.filter_project_sql(),
         "segment_revenue": R.segment_revenue_sql(),

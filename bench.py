@@ -417,6 +417,7 @@ def extra_query_suite(warm: bool = True) -> tuple[dict, float]:
         ("revenue_rollup", R.revenue_rollup),
         ("host_graph", C.host_graph),
         ("bigram_pmi", T.bigram_pmi),
+        ("events_paths", R.events_paths),
     ]
     warm_sec = 0.0
     if warm:

@@ -1538,3 +1538,85 @@ def revenue_rollup_sql() -> str:
     JOIN region   ON n_regionkey = r_regionkey
     GROUP BY ROLLUP (r_name, n_name)
     """
+
+
+# --------------------------------------------------------------------------- #
+def events_paths(sf_dir: str, gap_s: int = 1800, k: int = 3):
+    """Session path mining — the behavioral-analytics staple: count every
+    k-step event-type sequence (path) occurring INSIDE a session (same
+    gap-based sessionization as :func:`events_sessions`), e.g.
+    ``view>click>purchase``.
+
+    Scale shape: one coarse hash exchange on user_id co-locates each
+    user's events; the per-partition kernel sorts once, marks session
+    starts with the same vectorized gap-cumsum as `events_sessions`, and
+    forms every k-gram by ALIGNED SLICES of the type array (a path is
+    valid iff the session counter is unchanged k-1 rows later — the
+    counter is strictly monotone across session and user boundaries, so
+    one equality check replaces per-row loops). Partials are (path, c)
+    rows; the final grouped sum is bounded by |event_types|^k, not by the
+    data, so the plain aggregate is safe at any scale."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def paths(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        us = g["ts"].astype("int64").to_numpy()
+        boundary, _, _ = _seg_bounds(g["user_id"].to_numpy())
+        new = np.empty(len(g), dtype=np.int64)
+        new[0] = 1
+        new[1:] = (np.diff(us) > gap_s * 1_000_000).astype(np.int64)
+        new[boundary] = 1
+        cn = np.cumsum(new)  # strictly grows at every session/user boundary
+        tp = g["event_type"].to_numpy(dtype=object)
+        if len(g) < k:
+            return pd.DataFrame(
+                {"path": pd.Series([], dtype="string"),
+                 "c": pd.Series([], dtype="int64")}
+            )
+        valid = cn[: len(cn) - k + 1] == cn[k - 1 :]
+        parts = [tp[i : len(tp) - k + 1 + i][valid] for i in range(k)]
+        p = parts[0]
+        for nxt in parts[1:]:
+            p = p + ">" + nxt
+        vc = pd.Series(p).value_counts()
+        return pd.DataFrame({"path": vc.index.to_numpy(), "c": vc.to_numpy().astype("int64")})
+
+    partials = _keyed_partitions(ds, "user_id", paths, _table_rows(sf_dir, "events"))
+    return partials.groupby("path").aggregate(Sum("c", alias_name="n_paths"))
+
+
+def events_paths_sql(gap_s: int = 1800) -> str:
+    """Oracle for the k=3 default: sessionize exactly like
+    `events_sessions_sql`, then LEAD×2 within the user builds each trigram;
+    the session counter being unchanged two rows later admits it (the
+    counter is nondecreasing within a user, so ends of sessions/users fall
+    out via the equality or the NULL lead)."""
+    return f"""
+    WITH se AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(CASE WHEN prev_ts IS NULL
+                             OR epoch_us(ts) - epoch_us(prev_ts) > {gap_s} * 1000000
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS sid
+        FROM (
+            SELECT event_id, user_id, ts, event_type,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events
+        )
+    ),
+    tri AS (
+        SELECT event_type || '>' ||
+               LEAD(event_type, 1) OVER w || '>' ||
+               LEAD(event_type, 2) OVER w AS path,
+               sid, LEAD(sid, 2) OVER w AS sid2
+        FROM se
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_paths
+    FROM tri
+    WHERE sid2 = sid AND path IS NOT NULL
+    GROUP BY path
+    """

@@ -51,6 +51,7 @@ SQL_CHECKED = [
     "bloom_semi_join",
     "revenue_rollup",
     "bigram_pmi",
+    "events_paths",
 ]
 
 
