@@ -108,6 +108,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_pmi": T.bigram_pmi,
         # within-session event-type path (k-gram) counting (new r5)
         "events_paths": R.events_paths,
+        # per-dimension embedding normalization stats (new r5)
+        "embedding_stats": S.embedding_stats,
         # relational operators (SURVEY §2.2/2.4/2.5/2.6/2.7)
         "q1_pricing_summary": R.q1_pricing_summary,
         "filter_project": R.filter_project,
@@ -225,6 +227,7 @@ def oracle_sql() -> dict[str, str]:
         "host_graph": C.host_graph_sql(_SF_ORACLE),
         "bigram_pmi": T.bigram_pmi_sql(),
         "events_paths": R.events_paths_sql(),
+        "embedding_stats": S.embedding_stats_sql(),
         "q1_pricing_summary": R.q1_sql(),
         "filter_project": R.filter_project_sql(),
         "segment_revenue": R.segment_revenue_sql(),

@@ -418,6 +418,7 @@ def extra_query_suite(warm: bool = True) -> tuple[dict, float]:
         ("host_graph", C.host_graph),
         ("bigram_pmi", T.bigram_pmi),
         ("events_paths", R.events_paths),
+        ("embedding_stats", S.embedding_stats),
     ]
     warm_sec = 0.0
     if warm:

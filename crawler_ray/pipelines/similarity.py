@@ -975,3 +975,73 @@ def semdedup_sql(sf_dir: str, threshold: float = 0.4, n_centroids: int = 16, tra
            COALESCE(h.dup_of, CAST(-1 AS BIGINT)) AS dup_of
     FROM a LEFT JOIN hits h ON h.vec_id = a.vec_id
     """
+
+
+# --------------------------------------------------------------------------- #
+def embedding_stats(sf_dir: str):
+    """Per-dimension normalization statistics (mean + population variance)
+    over the embedding table — the standardization pass vector pipelines
+    run before IVF/PQ training or whitening.
+
+    Scale shape: each batch reshapes its list column into one (rows × dim)
+    float64 matrix and emits ONE (dim, Σx, Σx², n) partial row per
+    dimension — the exchange is O(dim × blocks) regardless of vector
+    count; the grouped sum is dimension-bounded so the plain aggregate is
+    safe. The finalize computes Σx²/n − (Σx/n)² — written EXACTLY like the
+    oracle expression so the two sides differ only by summation order,
+    absorbed by the rounding convention."""
+    from ray.data.aggregate import Sum
+
+    from .rounding import round_np
+
+    ds = _read_emb(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _as_matrix(t)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(m.shape[1], dtype="int64")),
+                "s1": pa.array(m.sum(axis=0)),
+                "s2": pa.array((m * m).sum(axis=0)),
+                "n": pa.array(np.full(m.shape[1], m.shape[0], dtype="int64")),
+            }
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(dtype=float)
+        s1 = df["s1"].to_numpy()
+        s2 = df["s2"].to_numpy()
+        mean = s1 / n
+        return pd.DataFrame(
+            {
+                "dim": df["dim"].astype("int64"),
+                "n": df["n"].astype("int64"),
+                "mean": round_np(mean, 6),
+                "var_pop": round_np(s2 / n - mean * mean, 6),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("dim")
+        .aggregate(Sum("s1", alias_name="s1"), Sum("s2", alias_name="s2"), Sum("n", alias_name="n"))
+        .map_batches(finish, batch_format="pandas")
+    )
+
+
+def embedding_stats_sql() -> str:
+    """Same Σx²/n − (Σx/n)² expression over CAST-to-double elements (float32
+    → float64 casts are exact on both sides)."""
+    return """
+    WITH e AS (
+        SELECT CAST(UNNEST(embedding) AS DOUBLE) AS x,
+               GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS dim
+        FROM embeddings
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(x) / COUNT(*), 6) AS mean,
+           ROUND(SUM(x * x) / COUNT(*) - (SUM(x) / COUNT(*)) * (SUM(x) / COUNT(*)), 6) AS var_pop
+    FROM e
+    GROUP BY dim
+    """

@@ -52,6 +52,7 @@ SQL_CHECKED = [
     "revenue_rollup",
     "bigram_pmi",
     "events_paths",
+    "embedding_stats",
 ]
 
 
