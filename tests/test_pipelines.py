@@ -1466,3 +1466,30 @@ def test_chunk_documents_vectorized_matches_naive(ray_session, tmp_path):
                 )
         want.sort()
         assert list(map(tuple, got.to_numpy())) == want, (size, stride)
+
+
+def test_bloom_semi_join_exact_under_false_positives(ray_session):
+    """A 256-bit filter over ~240 build keys saturates (FP rate ≈ 1), so
+    nearly every lineitem row survives the probe — the verification join
+    must scrub all of them back to the exact semi-join answer."""
+    import duckdb
+
+    from crawler_ray.pipelines.relational import bloom_semi_join, bloom_semi_join_sql
+
+    cols = ["l_orderkey", "l_linenumber", "l_quantity"]  # keys alone are not
+    # unique in the synthetic lineitem — sort on every column
+    got = to_df(bloom_semi_join(SF, m_bits=256, n_hashes=2)).sort_values(
+        cols
+    ).reset_index(drop=True)
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    want = (
+        con.sql(bloom_semi_join_sql())
+        .df()[got.columns]
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
