@@ -85,6 +85,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_quarter": R.orders_by_quarter,
         # per-source duplication audit table (new r5)
         "dup_stats_by_source": D.dup_stats_by_source,
+        # incremental delta-ingest dedup against a persisted hash store (new r5)
+        "dedup_increment": D.dedup_increment,
         # HyperLogLog frontier-cardinality sketch (new r5): mergeable
         # (bucket, max_rank) registers over distinct link targets
         "hll_distinct": C.hll_distinct,
@@ -216,6 +218,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_logprob": T.bigram_logprob_sql(),
         "orders_by_quarter": R.orders_by_quarter_sql(),
         "dup_stats_by_source": D.dup_stats_by_source_sql(),
+        "dedup_increment": D.dedup_increment_sql(),
         "hll_distinct": C.hll_distinct_sql(_SF_ORACLE),
         "chunk_documents": T.chunk_documents_sql(),
         "events_hll_hourly": R.events_hll_hourly_sql(),

@@ -405,6 +405,7 @@ def extra_query_suite(warm: bool = True) -> tuple[dict, float]:
         ("pack_sequences", Cu.pack_sequences),
         ("orders_by_quarter", R.orders_by_quarter),
         ("dup_stats_by_source", D.dup_stats_by_source),
+        ("dedup_increment", D.dedup_increment),
         ("events_funnel", R.events_funnel),
         ("pagerank", C.pagerank),
         ("hll_distinct", C.hll_distinct),

@@ -1104,3 +1104,135 @@ def dup_stats_by_source_sql() -> str:
     FROM documents
     GROUP BY source
     """
+
+
+# --------------------------------------------------------------------------- #
+# Incremental (delta-ingest) dedup — the snapshot-over-snapshot primitive
+
+_DEDUPSTORE_ROOT = "/tmp/crawler_ray_dedupstore"
+
+
+def ensure_hash_store(sf_dir: str, n_parts: int, mod: int = 4, delta_rem: int = 0) -> str:
+    """Build the BASE-corpus hash store ONCE: one distributed pass hashes
+    every base document's text (base = ``doc_id % mod != delta_rem``; the
+    complement is the incoming delta), dedups per batch, and writes the
+    (h1, h2) pairs Hive-partitioned by ``part = h1 % n_parts``. Cached by
+    (path, mtime, size, params) with an atomic rename — the same
+    build-once contract as ``ensure_ivf_index``.
+
+    This is what makes incremental ingest prune I/O: the delta pass reads
+    ONLY the store partition matching each delta partition's hash bucket,
+    so bytes touched scale with 1/n_parts per task — at 10^10 stored URLs
+    the store is a fixed on-disk structure revisited per snapshot, never
+    rebuilt and never shuffled."""
+    import hashlib
+    import shutil
+
+    import ray.data as rd
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|{n_parts}|{mod}|{delta_rem}".encode()
+    ).hexdigest()[:12]
+    final = os.path.join(_DEDUPSTORE_ROOT, key)
+    if os.path.isdir(final):
+        return final
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        base = df[(df["doc_id"].to_numpy() % mod) != delta_rem]
+        texts = base["text"].fillna("").to_numpy(dtype=object)
+        h1 = stable_hash64(texts).view(np.int64)
+        h2 = stable_hash64(texts, key="crawler_ray.dedup2").view(np.int64)
+        out = pd.DataFrame({"h1": h1, "h2": h2}).drop_duplicates()
+        out["part"] = (out["h1"].to_numpy().astype(np.uint64) % np.uint64(n_parts)).astype(
+            np.int64
+        )
+        return out
+
+    os.makedirs(_DEDUPSTORE_ROOT, exist_ok=True)
+    tmp = f"{final}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        rd.read_parquet(src, columns=["doc_id", "text"])
+        .map_batches(prep, batch_format="pandas", batch_size=16384)
+        .write_parquet(tmp, partition_cols=["part"])
+    )
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.isdir(final):
+            raise
+    return final
+
+
+def dedup_increment(sf_dir: str, mod: int = 4, delta_rem: int = 0):
+    """Incremental exact dedup: ingest the DELTA slice (``doc_id % mod ==
+    delta_rem`` — a deterministic stand-in for "the next crawl snapshot")
+    against the persisted base-corpus hash store, returning the delta docs
+    that survive (text unseen in the base AND first occurrence within the
+    delta, min doc_id wins).
+
+    Scale shape: per-batch local first-wins combiner → hash partition on
+    the 128-bit text hash (``pkey = h1 % n_parts`` — the SAME bucketing the
+    store was written with) → each partition task reads exactly one store
+    partition directory (1/n_parts of the store bytes), anti-joins the
+    delta rows against it with one vectorized two-key merge, then takes the
+    in-delta grouped min. The store is reread per snapshot, never rebuilt;
+    delta text bytes never shuffle (only (h1, h2, doc_id) rows move). A
+    silent collision-merge needs a simultaneous 128-bit collision — same
+    guarantee as :func:`exact_dedup`."""
+    import pyarrow.parquet as pq
+
+    from .partitions import agg_partitions
+
+    n_parts = agg_partitions(sf_dir, "documents")
+    store = ensure_hash_store(sf_dir, n_parts, mod, delta_rem)
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        delta = df[(df["doc_id"].to_numpy() % mod) == delta_rem]
+        texts = delta["text"].fillna("").to_numpy(dtype=object)
+        h1 = stable_hash64(texts).view(np.int64)
+        h2 = stable_hash64(texts, key="crawler_ray.dedup2").view(np.int64)
+        part = pd.DataFrame({"h1": h1, "h2": h2, "doc_id": delta["doc_id"].to_numpy()})
+        local = part.groupby(["h1", "h2"], sort=False)["doc_id"].min().reset_index()
+        local["pkey"] = (
+            local["h1"].to_numpy().astype(np.uint64) % np.uint64(n_parts)
+        ).astype(np.int64)
+        return local
+
+    def anti_join_store(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+        # global first-wins within the delta: every (h1, h2) group co-locates
+        survivors = df.groupby(["h1", "h2"], sort=False)["doc_id"].min().reset_index()
+        part_dir = os.path.join(store, f"part={int(df['pkey'].iloc[0])}")
+        if os.path.isdir(part_dir):
+            seen = pq.read_table(part_dir, columns=["h1", "h2"]).to_pandas()
+            merged = survivors.merge(seen, on=["h1", "h2"], how="left", indicator=True)
+            survivors = merged[merged["_merge"] == "left_only"]
+        return pd.DataFrame({"doc_id": survivors["doc_id"].to_numpy()})
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        prep, batch_format="pandas", batch_size=16384
+    )
+    return ds.groupby("pkey").map_groups(anti_join_store, batch_format="pandas")
+
+
+def dedup_increment_sql(mod: int = 4, delta_rem: int = 0) -> str:
+    # COALESCE mirrors the engine's fillna('') (ADVICE-r4 class)
+    return f"""
+    WITH delta AS (
+        SELECT doc_id, COALESCE(text, '') AS t
+        FROM documents WHERE doc_id % {mod} = {delta_rem}
+    ),
+    base AS (
+        SELECT DISTINCT COALESCE(text, '') AS t
+        FROM documents WHERE doc_id % {mod} <> {delta_rem}
+    )
+    SELECT MIN(d.doc_id) AS doc_id
+    FROM delta d
+    WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.t = d.t)
+    GROUP BY d.t
+    """

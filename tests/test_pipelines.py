@@ -1493,3 +1493,34 @@ def test_bloom_semi_join_exact_under_false_positives(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_dedup_increment(ray_session, tmp_path):
+    """Delta-ingest dedup: oracle parity on the sf fixture plus a planted
+    delta (doc_id % 4 == 0) exercising base-hit drop, in-delta first-wins,
+    and NULL→'' parity against an empty-string base doc."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.dedup import dedup_increment, dedup_increment_sql
+
+    sf = "/root/testdata/sf0.001"
+    assert_equivalent(dedup_increment(sf), dedup_increment_sql(), sf)
+
+    d = tmp_path / "dinc"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                # delta = 0, 4, 8, 12, 16; base = the rest
+                "doc_id": [0, 1, 2, 3, 4, 8, 12, 16, 17],
+                "text": ["x", "x", "y", "q", "z", "z", "w", None, ""],
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    assert_equivalent(dedup_increment(str(d)), dedup_increment_sql(), str(d))
+    kept = sorted(to_df(dedup_increment(str(d)))["doc_id"])
+    # 0 drops (text "x" in base), 8 drops (in-delta dup of 4),
+    # 16 drops (NULL ≡ '' which base doc 17 holds), 4 and 12 survive
+    assert kept == [4, 12]
