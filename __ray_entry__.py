@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_stats_by_source": D.dup_stats_by_source,
         # incremental delta-ingest dedup against a persisted hash store (new r5)
         "dedup_increment": D.dedup_increment,
+        # CCNet-style head/middle/tail perplexity tiles (new r5)
+        "perplexity_buckets": T.perplexity_buckets,
         # HyperLogLog frontier-cardinality sketch (new r5): mergeable
         # (bucket, max_rank) registers over distinct link targets
         "hll_distinct": C.hll_distinct,
@@ -219,6 +221,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_by_quarter": R.orders_by_quarter_sql(),
         "dup_stats_by_source": D.dup_stats_by_source_sql(),
         "dedup_increment": D.dedup_increment_sql(),
+        "perplexity_buckets": T.perplexity_buckets_sql(),
         "hll_distinct": C.hll_distinct_sql(_SF_ORACLE),
         "chunk_documents": T.chunk_documents_sql(),
         "events_hll_hourly": R.events_hll_hourly_sql(),

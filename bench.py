@@ -406,6 +406,7 @@ def extra_query_suite(warm: bool = True) -> tuple[dict, float]:
         ("orders_by_quarter", R.orders_by_quarter),
         ("dup_stats_by_source", D.dup_stats_by_source),
         ("dedup_increment", D.dedup_increment),
+        ("perplexity_buckets", T.perplexity_buckets),
         ("events_funnel", R.events_funnel),
         ("pagerank", C.pagerank),
         ("hll_distinct", C.hll_distinct),

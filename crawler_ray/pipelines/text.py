@@ -1563,3 +1563,129 @@ def bigram_pmi_sql(min_count: int = 5, k: int = 50) -> str:
     ORDER BY pmi_raw DESC, w1, w2
     LIMIT {k}
     """
+
+
+# --------------------------------------------------------------------------- #
+# CCNet-style perplexity bucketing (head / middle / tail)
+
+_UNIGRAM_SCORED_CTE = r"""
+    WITH d AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+    toks AS (
+        SELECT doc_id,
+               UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'),
+                                  x -> x <> '')) AS tok
+        FROM d
+    ),
+    cnt AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks),
+    per_doc AS (
+        SELECT t.doc_id, COUNT(*) AS n_toks,
+               AVG(LN(cnt.c / (SELECT n FROM tot))) AS mean_lp
+        FROM toks t JOIN cnt USING (tok) GROUP BY t.doc_id
+    ),
+    scored AS (
+        SELECT d.doc_id, ROUND(COALESCE(p.mean_lp, 0.0), 6) AS logprob
+        FROM d LEFT JOIN per_doc p USING (doc_id)
+    )
+"""
+
+
+def perplexity_buckets(sf_dir: str, n_buckets: int = 3):
+    """CCNet-style perplexity partitioning: score every document with the
+    corpus unigram LM (:func:`unigram_logprob`), rank the corpus by score
+    (best = most fluent first), and split it into ``n_buckets`` equal-count
+    tiles — head / middle / tail for 3, the split CCNet feeds to its
+    per-bucket sampling. Tie-break is (logprob DESC, doc_id), matching SQL
+    ``NTILE`` exactly.
+
+    Scale shape: one distributed range sort on (logprob, doc_id) — the
+    only shuffle — then the two-pass prefix-sum pattern
+    (``pack_sequences``): pass 1 collects one (first_doc_id, rows) row per
+    block, the driver prefix-sums those into per-block rank offsets
+    (bounded: rows = block count), pass 2 adds a local arange. No stage
+    materializes data on the driver and the result is block-layout
+    independent."""
+    import pyarrow as pa
+
+    labels = (
+        {1: "head", 2: "middle", 3: "tail"}
+        if n_buckets == 3
+        else {i + 1: f"b{i + 1}" for i in range(n_buckets)}
+    )
+
+    scored = unigram_logprob(sf_dir).select_columns(["doc_id", "logprob"])
+    ds = scored.sort(["logprob", "doc_id"], descending=[True, False]).materialize()
+
+    def block_stat(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"first_id": pa.array([], pa.int64()), "rows": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "first_id": pa.array([t["doc_id"][0].as_py()], pa.int64()),
+                "first_lp": pa.array([t["logprob"][0].as_py()], pa.float64()),
+                "rows": pa.array([len(t)], pa.int64()),
+            }
+        )
+
+    stats = [
+        (-float(r["first_lp"]), int(r["first_id"]), int(r["rows"]))
+        for r in ds.map_batches(
+            block_stat, batch_format="pyarrow", batch_size=None
+        ).take_all()
+    ]
+    stats.sort()
+    offsets: dict[int, int] = {}
+    n = 0
+    for _neg_lp, first_id, rows in stats:
+        offsets[first_id] = n
+        n += rows
+    q, rem = divmod(n, n_buckets) if n else (0, 0)
+
+    def assign(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "logprob": pa.array([], pa.float64()),
+                    "bucket": pa.array([], pa.string()),
+                }
+            )
+        rank = offsets[t["doc_id"][0].as_py()] + np.arange(len(t), dtype=np.int64)
+        # NTILE(k): first `rem` tiles hold q+1 rows, the rest q
+        head_rows = rem * (q + 1)
+        tile = np.where(
+            rank < head_rows,
+            rank // (q + 1),
+            rem + (np.maximum(rank - head_rows, 0) // max(q, 1)),
+        ).astype(np.int64) + 1
+        lut = np.array([""] + [labels[i + 1] for i in range(n_buckets)], dtype=object)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks(),
+                "logprob": t["logprob"].combine_chunks(),
+                "bucket": pa.array(lut[tile], pa.string()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+def perplexity_buckets_sql(n_buckets: int = 3) -> str:
+    if n_buckets == 3:
+        case = (
+            "CASE WHEN t = 1 THEN 'head' WHEN t = 2 THEN 'middle' "
+            "ELSE 'tail' END"
+        )
+    else:
+        case = "'b' || CAST(t AS VARCHAR)"
+    return f"""
+    {_UNIGRAM_SCORED_CTE},
+    tiled AS (
+        SELECT doc_id, logprob,
+               NTILE({n_buckets}) OVER (ORDER BY logprob DESC, doc_id) AS t
+        FROM scored
+    )
+    SELECT doc_id, logprob, {case} AS bucket FROM tiled
+    """

@@ -1524,3 +1524,37 @@ def test_dedup_increment(ray_session, tmp_path):
     # 0 drops (text "x" in base), 8 drops (in-delta dup of 4),
     # 16 drops (NULL ≡ '' which base doc 17 holds), 4 and 12 survive
     assert kept == [4, 12]
+
+
+def test_perplexity_buckets(ray_session, tmp_path):
+    """CCNet tiles: oracle parity on the sf fixture; planted corpus checks
+    the NTILE sizing (7 docs -> 3/2/2) and that fluent docs land in head."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.text import perplexity_buckets, perplexity_buckets_sql
+
+    sf = "/root/testdata/sf0.001"
+    assert_equivalent(perplexity_buckets(sf), perplexity_buckets_sql(), sf)
+
+    d = tmp_path / "ppl"
+    d.mkdir()
+    common = "the cat sat on the mat"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(7)),
+                "text": [common, common, common, common + " zzz",
+                         "qq ww ee rr tt yy", "uu ii oo pp aa ss", None],
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    assert_equivalent(perplexity_buckets(str(d)), perplexity_buckets_sql(), str(d))
+    got = to_df(perplexity_buckets(str(d)))
+    sizes = got["bucket"].value_counts()
+    assert sizes["head"] == 3 and sizes["middle"] == 2 and sizes["tail"] == 2
+    # empty doc scores 0.0 (top), then the repeated fluent docs in doc_id
+    # order; the all-singleton-token docs land in tail
+    assert set(got[got["bucket"] == "head"]["doc_id"]) == {6, 0, 1}
+    assert set(got[got["bucket"] == "tail"]["doc_id"]) == {4, 5}
