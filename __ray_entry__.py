@@ -40,6 +40,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from crawler_ray.pipelines import crawlq as C
+    from crawler_ray.pipelines import curate as CU
     from crawler_ray.pipelines import dedup as D
     from crawler_ray.pipelines import multimodal as M
     from crawler_ray.pipelines import relational as R
@@ -89,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_increment": D.dedup_increment,
         # CCNet-style head/middle/tail perplexity tiles (new r5)
         "perplexity_buckets": T.perplexity_buckets,
+        # deterministic seeded global training shuffle (new r5)
+        "shuffle_export": CU.shuffle_export,
         # HyperLogLog frontier-cardinality sketch (new r5): mergeable
         # (bucket, max_rank) registers over distinct link targets
         "hll_distinct": C.hll_distinct,
@@ -222,6 +225,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_stats_by_source": D.dup_stats_by_source_sql(),
         "dedup_increment": D.dedup_increment_sql(),
         "perplexity_buckets": T.perplexity_buckets_sql(),
+        "shuffle_export": CU.shuffle_export_sql(),
         "hll_distinct": C.hll_distinct_sql(_SF_ORACLE),
         "chunk_documents": T.chunk_documents_sql(),
         "events_hll_hourly": R.events_hll_hourly_sql(),

@@ -421,6 +421,7 @@ def extra_query_suite(warm: bool = True) -> tuple[dict, float]:
         ("bigram_pmi", T.bigram_pmi),
         ("events_paths", R.events_paths),
         ("embedding_stats", S.embedding_stats),
+        ("shuffle_export", Cu.shuffle_export),
     ]
     warm_sec = 0.0
     if warm:

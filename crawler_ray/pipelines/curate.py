@@ -747,3 +747,109 @@ def pack_sequences_sql(capacity: int = 4096) -> str:
                  - n_chars) // {capacity} AS BIGINT) AS bin
     FROM documents
     """
+
+
+# --------------------------------------------------------------------------- #
+# Deterministic global training shuffle
+
+def shuffle_export(sf_dir: str, seed: int = 42, n_shards: int = 8):
+    """Deterministic seeded GLOBAL shuffle for training export: every doc
+    gets a position in one corpus-wide pseudo-random permutation
+    (``md5(doc_id:seed)`` keys a total order) and lands in shard
+    ``rank % n_shards`` at in-shard position ``rank // n_shards`` — the
+    shuffle-before-packing step of a pre-training data build, reproducible
+    run-over-run (resume / audit) unlike ``random_shuffle()``.
+
+    Scale shape: one distributed range sort on the 64-bit key — the only
+    shuffle — then the two-pass prefix-sum rank (``pack_sequences``): one
+    bounded driver collect of (first_doc_id, rows) per block, broadcast
+    offsets, local arange. Round-robin sharding means every shard is
+    balanced to ±1 doc by construction — no skew handling needed. md5 (not
+    siphash) keys the order so the oracle can replay it bit-exactly; the
+    per-string digest cost is one pass and vanishes against the sort."""
+    import hashlib
+    import os
+
+    import ray.data as rd
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        ks = df["doc_id"].map(
+            lambda i: int(hashlib.md5(f"{i}:{seed}".encode()).hexdigest()[:16], 16)
+        )
+        # shift into signed space preserving order (Arrow has no uint64 sort
+        # guarantee across the range boundary; int64 keeps the total order)
+        k = (ks.to_numpy(dtype=np.uint64) ^ np.uint64(1 << 63)).astype(np.int64)
+        return pd.DataFrame({"doc_id": df["doc_id"], "k": k})
+
+    ds = (
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+        .map_batches(keyed, batch_format="pandas", batch_size=16384)
+        .sort(["k", "doc_id"])
+        .materialize()  # both rank passes must see the same block layout
+    )
+
+    def block_stat(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"first_id": pa.array([], pa.int64()), "rows": pa.array([], pa.int64()),
+                 "first_k": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "first_id": pa.array([t["doc_id"][0].as_py()], pa.int64()),
+                "first_k": pa.array([t["k"][0].as_py()], pa.int64()),
+                "rows": pa.array([len(t)], pa.int64()),
+            }
+        )
+
+    stats = sorted(
+        (int(r["first_k"]), int(r["first_id"]), int(r["rows"]))
+        for r in ds.map_batches(
+            block_stat, batch_format="pyarrow", batch_size=None
+        ).take_all()
+    )
+    offsets: dict[int, int] = {}
+    n = 0
+    for _k, first_id, rows in stats:
+        offsets[first_id] = n
+        n += rows
+
+    def assign(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "shard": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                }
+            )
+        rank = offsets[t["doc_id"][0].as_py()] + np.arange(len(t), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks(),
+                "shard": pa.array(rank % n_shards),
+                "pos": pa.array(rank // n_shards),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+def shuffle_export_sql(seed: int = 42, n_shards: int = 8) -> str:
+    return f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':{seed}'), 1, 16)
+                    AS UBIGINT) AS k
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY k, doc_id) - 1 AS r
+        FROM keyed
+    )
+    SELECT doc_id,
+           CAST(r % {n_shards} AS BIGINT) AS shard,
+           CAST(r // {n_shards} AS BIGINT) AS pos
+    FROM ranked
+    """

@@ -1558,3 +1558,27 @@ def test_perplexity_buckets(ray_session, tmp_path):
     # order; the all-singleton-token docs land in tail
     assert set(got[got["bucket"] == "head"]["doc_id"]) == {6, 0, 1}
     assert set(got[got["bucket"] == "tail"]["doc_id"]) == {4, 5}
+
+
+def test_shuffle_export(ray_session):
+    """Seeded global shuffle: oracle parity, balanced round-robin shards,
+    and a different seed yields a different permutation (same shard sizes)."""
+    from crawler_ray.pipelines.curate import shuffle_export, shuffle_export_sql
+
+    sf = "/root/testdata/sf0.001"
+    assert_equivalent(shuffle_export(sf), shuffle_export_sql(), sf)
+
+    got = to_df(shuffle_export(sf))
+    sizes = got.groupby("shard").size()
+    assert sizes.max() - sizes.min() <= 1  # balanced by construction
+    # positions within each shard are 0..size-1
+    for s, grp in got.groupby("shard"):
+        assert sorted(grp["pos"]) == list(range(len(grp)))
+    other = to_df(shuffle_export(sf, seed=7))
+    merged = got.merge(other, on="doc_id", suffixes=("_a", "_b"))
+    assert (merged["shard_a"] != merged["shard_b"]).any()
+    # determinism: same seed, same assignment
+    again = to_df(shuffle_export(sf))
+    assert got.sort_values("doc_id").reset_index(drop=True).equals(
+        again.sort_values("doc_id").reset_index(drop=True)
+    )
