@@ -117,6 +117,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_paths": R.events_paths,
         # per-dimension embedding normalization stats (new r5)
         "embedding_stats": S.embedding_stats,
+        # exact Misra-Gries heavy hitters, no global vocab shuffle (new r5)
+        "heavy_tokens": T.heavy_tokens,
         # relational operators (SURVEY §2.2/2.4/2.5/2.6/2.7)
         "q1_pricing_summary": R.q1_pricing_summary,
         "filter_project": R.filter_project,
@@ -238,6 +240,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_pmi": T.bigram_pmi_sql(),
         "events_paths": R.events_paths_sql(),
         "embedding_stats": S.embedding_stats_sql(),
+        "heavy_tokens": T.heavy_tokens_sql(),
         "q1_pricing_summary": R.q1_sql(),
         "filter_project": R.filter_project_sql(),
         "segment_revenue": R.segment_revenue_sql(),

@@ -422,6 +422,7 @@ def extra_query_suite(warm: bool = True) -> tuple[dict, float]:
         ("events_paths", R.events_paths),
         ("embedding_stats", S.embedding_stats),
         ("shuffle_export", Cu.shuffle_export),
+        ("heavy_tokens", T.heavy_tokens),
     ]
     warm_sec = 0.0
     if warm:

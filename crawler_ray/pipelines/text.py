@@ -1689,3 +1689,103 @@ def perplexity_buckets_sql(n_buckets: int = 3) -> str:
     )
     SELECT doc_id, logprob, {case} AS bucket FROM tiled
     """
+
+
+# --------------------------------------------------------------------------- #
+def heavy_tokens(sf_dir: str, k: int = 63):
+    """Exact phi-heavy hitters over the corpus token stream — the classic
+    two-pass Misra-Gries shape (MG'82; Cormode & Hadjieleftheriou, VLDB'08):
+    every token whose global count exceeds ``N/(k+1)`` is returned with its
+    EXACT count, without ever building the global vocabulary.
+
+    Pass 1 finds a candidate superset locally: within each block, any token
+    with ``count_block*(k+1) > n_block`` is emitted (pigeonhole: a globally
+    heavy token must be locally heavy in at least one block, and each block
+    can emit at most ``k`` such tokens). Pass 2 broadcasts the bounded
+    candidate set (``ray.put`` once, read per actor) and exact-counts ONLY
+    candidates, merging ≤ ``k × blocks`` rows through :func:`keyed_merge`.
+
+    Scale shape: the full-vocab groupby never happens — the only driver
+    collection is ≤ ``k+1`` rows per block (same budget class as
+    perplexity_buckets' per-block stats), and the pass-2 shuffle moves a
+    candidate-cardinality table, not the token stream."""
+    import ray
+
+    from .partitions import agg_partitions, keyed_merge
+
+    ds = _read_docs(sf_dir, ["text"])
+
+    def local_heavy(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df["text"].fillna("").str.lower().str.split().explode()
+        ex = ex[ex.notna()]
+        n = int(len(ex))
+        if not n:
+            return pd.DataFrame(
+                {
+                    "token": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        vc = ex.groupby(ex.to_numpy(), sort=False).size()
+        cand = vc[vc.to_numpy() * (k + 1) > n]
+        # sentinel row (token=None) carries the block's token total so N is
+        # accumulated in the same single text pass
+        return pd.DataFrame(
+            {
+                "token": list(cand.index) + [None],
+                "n": list(cand.to_numpy().astype("int64")) + [n],
+            }
+        )
+
+    rows = ds.map_batches(
+        local_heavy, batch_format="pandas", batch_size=8192
+    ).take_all()  # bounded: ≤ k+1 rows per block by the MG counter bound
+    total = sum(r["n"] for r in rows if r["token"] is None)
+    cands = frozenset(r["token"] for r in rows if r["token"] is not None)
+    cand_ref = ray.put(cands)
+
+    def count_cands(df: pd.DataFrame) -> pd.DataFrame:
+        cset = ray.get(cand_ref)
+        ex = df["text"].fillna("").str.lower().str.split().explode()
+        ex = ex[ex.notna() & ex.isin(cset)]
+        if not len(ex):
+            return pd.DataFrame(
+                {
+                    "token": pd.Series([], dtype=object),
+                    "cnt": pd.Series([], dtype="int64"),
+                }
+            )
+        vc = ex.groupby(ex.to_numpy(), sort=False).size()
+        return pd.DataFrame(
+            {"token": vc.index, "cnt": vc.to_numpy().astype("int64")}
+        )
+
+    merged = keyed_merge(
+        ds.map_batches(count_cands, batch_format="pandas", batch_size=8192),
+        "token",
+        lambda df: df.groupby("token", as_index=False)["cnt"].sum(),
+        agg_partitions(sf_dir, "documents"),
+    )
+
+    def threshold(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["cnt"].to_numpy() * (k + 1) > total]
+
+    return merged.map_batches(threshold, batch_format="pandas")
+
+
+def heavy_tokens_sql(k: int = 63) -> str:
+    """Oracle: exact counts over the identical lowercase/whitespace
+    tokenization, HAVING cnt*(k+1) > N."""
+    return rf"""
+    WITH toks AS (
+        SELECT UNNEST(LIST_FILTER(
+                   STRING_SPLIT_REGEX(LOWER(COALESCE(text, '')), '\s+'),
+                   x -> x <> '')) AS token
+        FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM toks)
+    SELECT token, COUNT(*) AS cnt
+    FROM toks, tot
+    GROUP BY token, tot.n
+    HAVING COUNT(*) * ({k} + 1) > tot.n
+    """

@@ -1582,3 +1582,33 @@ def test_shuffle_export(ray_session):
     assert got.sort_values("doc_id").reset_index(drop=True).equals(
         again.sort_values("doc_id").reset_index(drop=True)
     )
+
+
+def test_heavy_tokens(ray_session, tmp_path):
+    """Misra-Gries exact heavy hitters: oracle parity on the sf fixture and
+    on a planted corpus where the heavy set is known; exactness holds even
+    when a token is heavy globally but light in some blocks."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.text import heavy_tokens, heavy_tokens_sql
+
+    sf = "/root/testdata/sf0.001"
+    assert_equivalent(heavy_tokens(sf), heavy_tokens_sql(), sf)
+
+    # planted: 'hot' appears 40/100 tokens, 'warm' 20, the rest singletons
+    # spread across many docs so no single doc dominates a block
+    d = tmp_path / "hh"
+    d.mkdir()
+    docs = []
+    for i in range(20):
+        docs.append("hot hot warm " + f"u{i}a u{i}b")
+    pq.write_table(
+        pa.table({"doc_id": list(range(len(docs))), "text": docs}),
+        str(d / "documents.parquet"),
+    )
+    k = 9  # threshold N/(k+1) = 100/10 = 10: hot(40) and warm(20) qualify
+    got = to_df(heavy_tokens(str(d), k=k)).sort_values("token")
+    assert list(got["token"]) == ["hot", "warm"]
+    assert list(got["cnt"]) == [40, 20]
+    assert_equivalent(heavy_tokens(str(d), k=k), heavy_tokens_sql(k=k), str(d))
