@@ -119,6 +119,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_stats": S.embedding_stats,
         # exact Misra-Gries heavy hitters, no global vocab shuffle (new r5)
         "heavy_tokens": T.heavy_tokens,
+        # TPC-H-Q14-style global promo-revenue share (new r5)
+        "promo_revenue": R.promo_revenue,
+        # TPC-H-Q15-style max-revenue supplier with ties (new r5)
+        "top_supplier": R.top_supplier,
+        # trailing-window z-score rate-spike detection (new r5)
+        "events_anomaly": R.events_anomaly,
         # relational operators (SURVEY §2.2/2.4/2.5/2.6/2.7)
         "q1_pricing_summary": R.q1_pricing_summary,
         "filter_project": R.filter_project,
@@ -241,6 +247,9 @@ def oracle_sql() -> dict[str, str]:
         "events_paths": R.events_paths_sql(),
         "embedding_stats": S.embedding_stats_sql(),
         "heavy_tokens": T.heavy_tokens_sql(),
+        "promo_revenue": R.promo_revenue_sql(),
+        "top_supplier": R.top_supplier_sql(),
+        "events_anomaly": R.events_anomaly_sql(),
         "q1_pricing_summary": R.q1_sql(),
         "filter_project": R.filter_project_sql(),
         "segment_revenue": R.segment_revenue_sql(),

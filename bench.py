@@ -423,6 +423,9 @@ def extra_query_suite(warm: bool = True) -> tuple[dict, float]:
         ("embedding_stats", S.embedding_stats),
         ("shuffle_export", Cu.shuffle_export),
         ("heavy_tokens", T.heavy_tokens),
+        ("promo_revenue", R.promo_revenue),
+        ("top_supplier", R.top_supplier),
+        ("events_anomaly", R.events_anomaly),
     ]
     warm_sec = 0.0
     if warm:

@@ -21,7 +21,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .partitions import agg_partitions, join_partitions
+from .partitions import agg_partitions, join_partitions, keyed_merge
 from .rounding import round_np, round_pa
 
 
@@ -1619,4 +1619,236 @@ def events_paths_sql(gap_s: int = 1800) -> str:
     FROM tri
     WHERE sid2 = sid AND path IS NOT NULL
     GROUP BY path
+    """
+
+
+# --------------------------------------------------------------------------- #
+def promo_revenue(sf_dir: str, lo: str = "1996-01-01", hi: str = "1996-07-01"):
+    """TPC-H-Q14-style promotion-revenue share: one global scalar,
+    100 · Σ(promo revenue) / Σ(revenue) over a ship-date window.
+
+    Scale shape: the part table is a broadcast dimension (`ray.put` once,
+    `index_in` + `take` per batch — never a shuffle join); each batch
+    collapses to a ONE-row integer partial (promo_u, total_u in 1e-4 money
+    units, order-independent), so the global reduce moves one row per block.
+    The final ratio is a driver-side scalar divide in the exact oracle
+    arithmetic order (100.0 · promo / total, round 6)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    ref = ray.put(
+        (
+            pa.array(part["p_partkey"].to_numpy()),
+            pa.array((part["p_type"] == "PROMO").to_numpy()),
+        )
+    )
+    lo_s = pa.scalar(pd.Timestamp(lo), pa.timestamp("us"))
+    hi_s = pa.scalar(pd.Timestamp(hi), pa.timestamp("us"))
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, is_promo = ray.get(ref)
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], lo_s), pc.less(t["l_shipdate"], hi_s)
+            )
+        )
+        idx = pc.index_in(t["l_partkey"].combine_chunks(), value_set=keys)
+        promo = pc.fill_null(pc.take(is_promo, idx), False).to_numpy(
+            zero_copy_only=False
+        )
+        valid = pc.is_valid(idx).to_numpy(zero_copy_only=False)  # inner-join semantics
+        price = t["l_extendedprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        u = round_np(price * (1.0 - disc) * 10000.0, 0).astype("int64")
+        u = np.where(valid, u, 0)
+        return pa.table(
+            {
+                "promo_u": pa.array([int(u[promo & valid].sum())], pa.int64()),
+                "total_u": pa.array([int(u.sum())], pa.int64()),
+            }
+        )
+
+    partials = li.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    agg = partials.aggregate(
+        Sum("promo_u", alias_name="promo_u"), Sum("total_u", alias_name="total_u")
+    )
+    pct = 100.0 * float(agg["promo_u"]) / float(agg["total_u"])
+    return pd.DataFrame({"promo_pct": round_np([pct], 6)})
+
+
+def promo_revenue_sql(lo: str = "1996-01-01", hi: str = "1996-07-01") -> str:
+    return f"""
+    SELECT ROUND(
+        100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+                    ELSE 0 END) AS DOUBLE)
+              / CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE),
+        6) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '{lo}' AND l_shipdate < TIMESTAMP '{hi}'
+    """
+
+
+# --------------------------------------------------------------------------- #
+def top_supplier(sf_dir: str, lo: str = "1996-01-01", hi: str = "1996-04-01"):
+    """TPC-H-Q15-style max-revenue supplier(s) over a quarter, ties kept.
+
+    Scale shape: per-batch combiner collapses lineitem to ≤(#suppliers)
+    integer partial rows; `keyed_merge` co-locates each supplier's partials
+    (Python invocations = partition count, not supplier count). The merged
+    per-supplier table is bounded by supplier cardinality — the classic
+    bounded small side — so the argmax + name join run driver-side on the
+    collapsed frame; names come from the tiny supplier dim, never shuffled."""
+    lo_s = pa.scalar(pd.Timestamp(lo), pa.timestamp("us"))
+    hi_s = pa.scalar(pd.Timestamp(hi), pa.timestamp("us"))
+    li = _read(
+        sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], lo_s), pc.less(t["l_shipdate"], hi_s)
+            )
+        )
+        price = t["l_extendedprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        u = round_np(price * (1.0 - disc) * 10000.0, 0).astype("int64")
+        t2 = pa.table(
+            {"s_suppkey": t["l_suppkey"].combine_chunks(), "rev_u": pa.array(u)}
+        )
+        g = t2.group_by(["s_suppkey"], use_threads=False).aggregate([("rev_u", "sum")])
+        return g.rename_columns(["s_suppkey", "rev_u"])
+
+    partials = li.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    rev = keyed_merge(
+        partials,
+        "s_suppkey",
+        lambda df: df.groupby("s_suppkey", as_index=False)["rev_u"].sum(),
+        agg_partitions(sf_dir, "lineitem"),
+    ).to_pandas()  # bounded by supplier cardinality
+    best = rev[rev["rev_u"] == rev["rev_u"].max()]
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    out = best.merge(supp, on="s_suppkey")
+    out["total_revenue"] = out["rev_u"] / 10000.0
+    return out[["s_suppkey", "s_name", "total_revenue"]].sort_values(
+        "s_suppkey", kind="mergesort"
+    ).reset_index(drop=True)
+
+
+def top_supplier_sql(lo: str = "1996-01-01", hi: str = "1996-04-01") -> str:
+    return f"""
+    WITH rev AS (
+        SELECT l_suppkey AS s_suppkey,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS rev_u
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{lo}' AND l_shipdate < TIMESTAMP '{hi}'
+        GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(rev_u AS BIGINT) / 10000.0 AS total_revenue
+    FROM rev JOIN supplier s USING (s_suppkey)
+    WHERE rev_u = (SELECT MAX(rev_u) FROM rev)
+    """
+
+
+# --------------------------------------------------------------------------- #
+def events_anomaly(sf_dir: str, window: int = 24):
+    """Trailing-window z-score anomaly detection over hourly event counts —
+    the streaming-monitoring op (rate-spike detection) a crawl scheduler
+    runs over its own lifecycle/event stream.
+
+    Scale shape: the per-batch combiner collapses the event stream to
+    (event_type, hour, n) partials, so the only shuffle moves O(types ×
+    hours × blocks) rows; `_keyed_partitions(event_type)` co-locates each
+    type's hourly series and the kernel computes trailing sums via prefix
+    sums over segment boundaries — one vectorized pass, no per-type Python
+    dispatch, exact int64 window sums (order-independent), the z expression
+    evaluated in the identical IEEE order as the SQL oracle, rounded to 6."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].combine_chunks().cast(pa.int64())
+        hour = pc.multiply(pc.divide(ts, 3600 * 10**6), 3600)
+        t2 = pa.table({"event_type": t["event_type"].combine_chunks(), "hour": hour})
+        g = t2.group_by(["event_type", "hour"], use_threads=False).aggregate(
+            [("hour", "count")]
+        )
+        return g.rename_columns(["event_type", "hour", "n"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        # merge partial counts, then trailing z per type series
+        df = df.groupby(["event_type", "hour"], as_index=False)["n"].sum()
+        df = df.sort_values(["event_type", "hour"], kind="mergesort").reset_index(
+            drop=True
+        )
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype="string"),
+                    "hour": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                    "z": pd.Series([], dtype="float64"),
+                }
+            )
+        n = df["n"].to_numpy(dtype="int64")
+        keys = df["event_type"].to_numpy()
+        _, starts, lens = _seg_bounds(keys)
+        i = np.arange(len(df), dtype="int64")
+        seg_start = np.repeat(starts, lens)
+        lo = np.maximum(i - window, seg_start)
+        C = np.concatenate([[0], np.cumsum(n)])
+        C2 = np.concatenate([[0], np.cumsum(n.astype("int64") ** 2)])
+        wsum = C[i] - C[lo]
+        wsumsq = C2[i] - C2[lo]
+        cnt = i - lo
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # EXACT oracle arithmetic order: (n - wsum/cnt) / sqrt(var)
+            var = (wsumsq - (wsum * wsum) / cnt) / (cnt - 1)
+            z = (n - wsum / cnt) / np.sqrt(var)
+        keep = (cnt >= 2) & (var > 0)
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"].to_numpy()[keep],
+                "hour": df["hour"].to_numpy()[keep],
+                "n": n[keep],
+                "z": round_np(z[keep], 6),
+            }
+        )
+
+    return _keyed_partitions(
+        partials, "event_type", kernel, _table_rows(sf_dir, "events")
+    )
+
+
+def events_anomaly_sql(window: int = 24) -> str:
+    return f"""
+    WITH hc AS (
+        SELECT event_type,
+               CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT event_type, hour, n,
+               CAST(SUM(n)     OVER win AS BIGINT) AS wsum,
+               CAST(SUM(n * n) OVER win AS BIGINT) AS wsumsq,
+               CAST(COUNT(n)   OVER win AS BIGINT) AS cnt
+        FROM hc
+        WINDOW win AS (PARTITION BY event_type ORDER BY hour
+                       ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hour, n,
+           ROUND((n - CAST(wsum AS DOUBLE) / cnt)
+                 / SQRT((wsumsq - (CAST(wsum AS DOUBLE) * wsum) / cnt) / (cnt - 1)), 6) AS z
+    FROM w
+    WHERE cnt >= 2
+      AND (wsumsq - (CAST(wsum AS DOUBLE) * wsum) / cnt) / (cnt - 1) > 0
     """

@@ -53,6 +53,9 @@ SQL_CHECKED = [
     "bigram_pmi",
     "events_paths",
     "embedding_stats",
+    "promo_revenue",
+    "top_supplier",
+    "events_anomaly",
 ]
 
 
