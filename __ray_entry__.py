@@ -125,6 +125,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_supplier": R.top_supplier,
         # trailing-window z-score rate-spike detection (new r5)
         "events_anomaly": R.events_anomaly,
+        # LEFT-OUTER join with zero-fill via tagged-union combiner (new r5)
+        "customer_order_counts": R.customer_order_counts,
+        # TPC-H-Q4-shaped EXISTS semi-join, cross-side predicate (new r5)
+        "late_ship_priority": R.late_ship_priority,
+        # mutual-edge graph self-join via unordered-pair merge (new r5)
+        "reciprocal_links": C.reciprocal_links,
+        # per-doc top-k TF-IDF keyword extraction (new r5)
+        "tfidf_topk": T.tfidf_topk,
         # relational operators (SURVEY §2.2/2.4/2.5/2.6/2.7)
         "q1_pricing_summary": R.q1_pricing_summary,
         "filter_project": R.filter_project,
@@ -250,6 +258,10 @@ def oracle_sql() -> dict[str, str]:
         "promo_revenue": R.promo_revenue_sql(),
         "top_supplier": R.top_supplier_sql(),
         "events_anomaly": R.events_anomaly_sql(),
+        "customer_order_counts": R.customer_order_counts_sql(),
+        "late_ship_priority": R.late_ship_priority_sql(),
+        "reciprocal_links": C.reciprocal_links_sql(_SF_ORACLE),
+        "tfidf_topk": T.tfidf_topk_sql(),
         "q1_pricing_summary": R.q1_sql(),
         "filter_project": R.filter_project_sql(),
         "segment_revenue": R.segment_revenue_sql(),

@@ -426,6 +426,10 @@ def extra_query_suite(warm: bool = True) -> tuple[dict, float]:
         ("promo_revenue", R.promo_revenue),
         ("top_supplier", R.top_supplier),
         ("events_anomaly", R.events_anomaly),
+        ("customer_order_counts", R.customer_order_counts),
+        ("late_ship_priority", R.late_ship_priority),
+        ("reciprocal_links", C.reciprocal_links),
+        ("tfidf_topk", T.tfidf_topk),
     ]
     warm_sec = 0.0
     if warm:

@@ -566,3 +566,51 @@ def host_graph_sql(sf_dir: str) -> str:
     FROM links
     GROUP BY 1, 2
     """
+
+
+def reciprocal_links(sf_dir: str):
+    """Mutual (A↔B) page edges — the graph self-join behind nepotistic-link
+    / link-farm spam detection (reciprocal-link density is a classic spam
+    signal a crawl scheduler feeds its prioritizer).
+
+    Scale shape: a naive self-join shuffles the edge set TWICE; instead
+    each edge maps to its unordered pair (min, max, direction-bit) and a
+    per-batch drop_duplicates bounds partials by distinct pairs per batch.
+    ONE `keyed_merge` hash exchange on the pair co-locates both directions,
+    and the kernel keeps pairs whose direction-bits span {fwd, bwd} — the
+    self-join collapses into a grouped any/any. Self-loops drop at the
+    map."""
+    import numpy as np
+    import pandas as pd
+
+    from .partitions import for_rows, keyed_merge
+
+    links = corpus_links(sf_dir).select_columns(["src", "dst"])
+
+    def to_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["src"] != df["dst"]]
+        fwd = (df["src"] < df["dst"]).to_numpy()
+        a = np.where(fwd, df["src"].to_numpy(), df["dst"].to_numpy())
+        b = np.where(fwd, df["dst"].to_numpy(), df["src"].to_numpy())
+        out = pd.DataFrame({"url_a": a, "url_b": b, "fwd": fwd})
+        return out.drop_duplicates()
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(["url_a", "url_b"], as_index=False)["fwd"].agg(["min", "max"])
+        g = g[(~g["min"]) & g["max"]]
+        return g[["url_a", "url_b"]].reset_index(drop=True)
+
+    pairs = links.map_batches(to_pairs, batch_format="pandas")
+    return keyed_merge(
+        pairs, ["url_a", "url_b"], kernel, for_rows(_corpus_meta_rows(sf_dir), 500_000, floor=4)
+    )
+
+
+def reciprocal_links_sql(sf_dir: str) -> str:
+    return f"""
+    WITH links AS ({corpus_links_sql(sf_dir)}),
+    l AS (SELECT DISTINCT src, dst FROM links WHERE src <> dst)
+    SELECT l1.src AS url_a, l1.dst AS url_b
+    FROM l l1 JOIN l l2 ON l1.src = l2.dst AND l1.dst = l2.src
+    WHERE l1.src < l1.dst
+    """

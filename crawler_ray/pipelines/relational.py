@@ -1852,3 +1852,216 @@ def events_anomaly_sql(window: int = 24) -> str:
     WHERE cnt >= 2
       AND (wsumsq - (CAST(wsum AS DOUBLE) * wsum) / cnt) / (cnt - 1) > 0
     """
+
+
+# --------------------------------------------------------------------------- #
+def customer_order_counts(sf_dir: str):
+    """LEFT-OUTER join with zero-fill — every customer with its order count
+    and total spend, customers with NO orders kept at 0 (the join type the
+    anti-join family doesn't cover; reference scan results likewise report
+    zero-hit hosts).
+
+    Scale shape: no join operator at all — the fact side collapses to
+    per-batch integer partials (o_custkey, n, spend_u) and the dimension
+    side is unioned in as tagged zero rows; ONE `keyed_merge` hash exchange
+    on c_custkey co-locates a customer's partials with its tag row, and the
+    kernel's grouped sum + presence filter IS the left-outer join. Both
+    sides stream; neither is broadcast (at 10^9 customers a broadcast dim
+    would not fit)."""
+    import ray.data as rd
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def tag_cust(t: pa.Table) -> pa.Table:
+        n = len(t)
+        z = pa.array(np.zeros(n, dtype=np.int64))
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"].combine_chunks(),
+                "seg": t["c_mktsegment"].combine_chunks(),
+                "n": z,
+                "spend_u": z,
+                "is_cust": pa.array(np.ones(n, dtype=np.int64)),
+            }
+        )
+
+    def order_partial(t: pa.Table) -> pa.Table:
+        u = round_np(
+            t["o_totalprice"].combine_chunks().to_numpy(zero_copy_only=False) * 100.0,
+            0,
+        ).astype("int64")
+        t2 = pa.table(
+            {"c_custkey": t["o_custkey"].combine_chunks(), "spend_u": pa.array(u)}
+        )
+        g = t2.group_by(["c_custkey"], use_threads=False).aggregate(
+            [("spend_u", "sum"), ("spend_u", "count")]
+        )
+        g = g.rename_columns(["c_custkey", "spend_u", "n"])
+        m = len(g)
+        return pa.table(
+            {
+                "c_custkey": g["c_custkey"],
+                "seg": pa.array([""] * m, pa.string()),
+                "n": g["n"].cast(pa.int64()),
+                "spend_u": g["spend_u"],
+                "is_cust": pa.array(np.zeros(m, dtype=np.int64)),
+            }
+        )
+
+    tagged = cust.map_batches(tag_cust, batch_format="pyarrow").union(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+            order_partial, batch_format="pyarrow", batch_size=65536
+        )
+    )
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("c_custkey", as_index=False).agg(
+            c_mktsegment=("seg", "max"),  # order rows carry "" < any segment
+            n_orders=("n", "sum"),
+            spend_u=("spend_u", "sum"),
+            is_cust=("is_cust", "max"),
+        )
+        g = g[g["is_cust"] == 1]  # left-outer FROM customer: drop orphan keys
+        return pd.DataFrame(
+            {
+                "c_custkey": g["c_custkey"].to_numpy(),
+                "c_mktsegment": g["c_mktsegment"].to_numpy(),
+                "n_orders": g["n_orders"].to_numpy().astype("int64"),
+                "total_spend": g["spend_u"].to_numpy().astype("int64") / 100.0,
+            }
+        )
+
+    return keyed_merge(
+        tagged, "c_custkey", kernel, join_partitions(sf_dir, "customer", "orders")
+    )
+
+
+def customer_order_counts_sql() -> str:
+    return """
+    SELECT c.c_custkey, c.c_mktsegment,
+           CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(o.spend_u, 0) AS BIGINT) / 100.0 AS total_spend
+    FROM customer c LEFT JOIN (
+        SELECT o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS spend_u
+        FROM orders GROUP BY 1
+    ) o ON c.c_custkey = o.o_custkey
+    """
+
+
+# --------------------------------------------------------------------------- #
+def late_ship_priority(
+    sf_dir: str,
+    lo: str = "1996-01-01",
+    hi: str = "1996-04-01",
+    late_days: int = 30,
+):
+    """TPC-H-Q4-shaped EXISTS semi-join with a CROSS-side predicate: count
+    orders per priority placed in a quarter that have at least one lineitem
+    shipped more than ``late_days`` after the order date. (Q4 proper tests
+    l_commitdate < l_receiptdate; the driver schema carries only
+    l_shipdate, so lateness is ship − order date — same join shape.)
+
+    Scale shape: EXISTS(ship > odate + Δ) ⟺ max(ship) > odate + Δ, so the
+    probe side collapses to per-batch (orderkey, max_ship) integer partials
+    — pre-filtered to ship > lo + Δ, the weakest bound any window order can
+    need. ONE `keyed_merge` hash exchange on orderkey co-locates an order's
+    tag row with its partials; the kernel folds max-of-max, applies the
+    cross-side comparison vectorized, and emits per-PARTITION (priority, n)
+    partials — the driver sums a ≤ 5 × n_parts frame. No order row, no
+    lineitem row ever broadcasts or sorts globally."""
+    lo_us = int(pd.Timestamp(lo).value // 1000)
+    hi_us = int(pd.Timestamp(hi).value // 1000)
+    delta_us = late_days * 86400 * 10**6
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].combine_chunks().cast(pa.int64())
+        keep = pc.and_(
+            pc.greater_equal(od, pa.scalar(lo_us)), pc.less(od, pa.scalar(hi_us))
+        )
+        t = pa.table(
+            {
+                "k": t["o_orderkey"].combine_chunks(),
+                "prio": t["o_orderpriority"].combine_chunks(),
+                "odate_us": od,
+            }
+        ).filter(keep)
+        n = len(t)
+        return pa.table(
+            {
+                "k": t["k"],
+                "prio": t["prio"],
+                "odate_us": t["odate_us"],
+                "ship_us": pa.array(np.full(n, -1, dtype=np.int64)),
+                "kind": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].combine_chunks().cast(pa.int64())
+        t2 = pa.table({"k": t["l_orderkey"].combine_chunks(), "ship_us": ship}).filter(
+            pc.greater(ship, pa.scalar(lo_us + delta_us))
+        )
+        g = t2.group_by(["k"], use_threads=False).aggregate([("ship_us", "max")])
+        g = g.rename_columns(["k", "ship_us"])
+        m = len(g)
+        return pa.table(
+            {
+                "k": g["k"],
+                "prio": pa.array([""] * m, pa.string()),
+                "odate_us": pa.array(np.zeros(m, dtype=np.int64)),
+                "ship_us": g["ship_us"],
+                "kind": pa.array(np.ones(m, dtype=np.int64)),
+            }
+        )
+
+    tagged = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
+            li_partial, batch_format="pyarrow", batch_size=65536
+        )
+    )
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["kind"] == 0]
+        li = df[df["kind"] == 1].groupby("k")["ship_us"].max()
+        if not len(o):
+            return pd.DataFrame(
+                {
+                    "o_orderpriority": pd.Series([], dtype="string"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        ship = o["k"].map(li)
+        late = ship.notna() & (ship > o["odate_us"] + delta_us)
+        g = o.loc[late.to_numpy(), "prio"].value_counts()
+        return pd.DataFrame(
+            {
+                "o_orderpriority": g.index.to_numpy(),
+                "n": g.to_numpy().astype("int64"),
+            }
+        )
+
+    partials = keyed_merge(
+        tagged, "k", kernel, join_partitions(sf_dir, "orders", "lineitem")
+    ).to_pandas()  # ≤ 5 priorities × n_parts rows
+    out = partials.groupby("o_orderpriority", as_index=False)["n"].sum()
+    out = out.rename(columns={"n": "order_count"})
+    out["order_count"] = out["order_count"].astype("int64")
+    return out.sort_values("o_orderpriority", kind="mergesort").reset_index(drop=True)
+
+
+def late_ship_priority_sql(
+    lo: str = "1996-01-01", hi: str = "1996-04-01", late_days: int = 30
+) -> str:
+    return f"""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '{lo}' AND o_orderdate < TIMESTAMP '{hi}'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL {late_days} DAY)
+    GROUP BY 1 ORDER BY 1
+    """

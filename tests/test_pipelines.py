@@ -56,6 +56,9 @@ SQL_CHECKED = [
     "promo_revenue",
     "top_supplier",
     "events_anomaly",
+    "customer_order_counts",
+    "late_ship_priority",
+    "tfidf_topk",
 ]
 
 
@@ -80,6 +83,7 @@ def test_query_matches_duckdb(name, ray_session):
         "crawl_bfs",
         "pagerank",
         "host_graph",
+        "reciprocal_links",
     ],
 )
 def test_corpus_query_matches_duckdb(name, ray_session):
