@@ -133,6 +133,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reciprocal_links": C.reciprocal_links,
         # per-doc top-k TF-IDF keyword extraction (new r5)
         "tfidf_topk": T.tfidf_topk,
+        # distributed Lloyd k-means FIT, artifact-backed update oracle (new r5)
+        "kmeans_fit": S.kmeans_fit,
         # relational operators (SURVEY §2.2/2.4/2.5/2.6/2.7)
         "q1_pricing_summary": R.q1_pricing_summary,
         "filter_project": R.filter_project,
@@ -262,6 +264,7 @@ def oracle_sql() -> dict[str, str]:
         "late_ship_priority": R.late_ship_priority_sql(),
         "reciprocal_links": C.reciprocal_links_sql(_SF_ORACLE),
         "tfidf_topk": T.tfidf_topk_sql(),
+        "kmeans_fit": S.kmeans_fit_sql(_SF_ORACLE),
         "q1_pricing_summary": R.q1_sql(),
         "filter_project": R.filter_project_sql(),
         "segment_revenue": R.segment_revenue_sql(),

@@ -430,6 +430,7 @@ def extra_query_suite(warm: bool = True) -> tuple[dict, float]:
         ("late_ship_priority", R.late_ship_priority),
         ("reciprocal_links", C.reciprocal_links),
         ("tfidf_topk", T.tfidf_topk),
+        ("kmeans_fit", S.kmeans_fit),
     ]
     warm_sec = 0.0
     if warm:

@@ -1045,3 +1045,193 @@ def embedding_stats_sql() -> str:
     FROM e
     GROUP BY dim
     """
+
+
+# --------------------------------------------------------------------------- #
+# Distributed k-means FIT (Lloyd iterations) — unlike `embed_clusters`, which
+# only ASSIGNS to sample-trained centroids, this trains the centroids
+# themselves over the full table, the canonical broadcast→partial-sum→tiny-
+# reduce iterative-ML pattern (each iteration is one streaming pass, no
+# shuffle; only (cells × blocks) partial rows ever leave the workers).
+_KMEANS_ROOT = "/tmp/crawler_ray_kmeans"
+
+
+def ensure_kmeans_fit(sf_dir: str, n_centroids: int = 16, iters: int = 3) -> str:
+    """Run the distributed Lloyd fit ONCE and persist every iteration's
+    centroid table (``cent_t0.parquet`` … ``cent_t{iters}.parquet``) under a
+    content-keyed /tmp dir with an atomic rename — the same build-once
+    contract as `ensure_ivf_index`. Returns the artifact dir.
+
+    Per iteration: centroids broadcast ONCE via ``ray.put``; each batch
+    assigns its vectors (vectorized argmax over the dot-product matrix) and
+    emits per-cell INTEGER partial sums of the 1e-9-quantized normalized
+    vectors plus counts — ≤ n_centroids rows per block, so the reduce is a
+    driver-side fold of a tiny frame and the update (sum/1e9/cnt, then L2
+    normalize) is exact and order-independent given the assignment. Cells
+    that captured no vectors keep their previous centroid. Init is the
+    n_centroids lowest-vec_id vectors (deterministic, bounded read)."""
+    import hashlib
+    import shutil
+
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray
+
+    emb = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(emb)
+    key = hashlib.md5(
+        f"{os.path.abspath(emb)}|{st.st_mtime_ns}|{st.st_size}|{n_centroids}|{iters}|kmfit".encode()
+    ).hexdigest()[:12]
+    final = os.path.join(_KMEANS_ROOT, key)
+    if os.path.isdir(final) and os.path.exists(
+        os.path.join(final, f"cent_t{iters}.parquet")
+    ):
+        return final
+
+    def write_cents(dirname: str, t: int, cents: np.ndarray) -> None:
+        pq.write_table(
+            pa.table(
+                {
+                    "cell": pa.array(np.arange(len(cents), dtype=np.int64)),
+                    "centroid": pa.FixedSizeListArray.from_arrays(
+                        pa.array(cents.reshape(-1)), cents.shape[1]
+                    ),
+                }
+            ),
+            os.path.join(dirname, f"cent_t{t}.parquet"),
+        )
+
+    init = duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{emb}') ORDER BY vec_id LIMIT {n_centroids}"
+    ).arrow()
+    cents = _normalize(
+        np.asarray(init["embedding"].combine_chunks().values, dtype=np.float64).reshape(
+            len(init), -1
+        )
+    )
+    dim = cents.shape[1]
+
+    os.makedirs(_KMEANS_ROOT, exist_ok=True)
+    tmp = f"{final}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    write_cents(tmp, 0, cents)
+
+    ds = _read_emb(sf_dir)
+    k = n_centroids
+    for t in range(1, iters + 1):
+        cref = ray.put(cents)
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            x = _normalize(_as_matrix(tbl))
+            cell = np.argmax(x @ c.T, axis=1)
+            q = round_np(x * 1e9, 0).astype(np.int64)
+            sums = np.zeros((k, dim), dtype=np.int64)
+            np.add.at(sums, cell, q)
+            cnt = np.bincount(cell, minlength=k).astype(np.int64)
+            nz = cnt > 0
+            return pa.table(
+                {
+                    "cell": pa.array(np.arange(k, dtype=np.int64)[nz]),
+                    "cnt": pa.array(cnt[nz]),
+                    "sums": pa.FixedSizeListArray.from_arrays(
+                        pa.array(sums[nz].reshape(-1)), dim
+                    ),
+                }
+            )
+
+        parts = ds.map_batches(
+            partial, batch_format="pyarrow", batch_size=8192
+        ).to_pandas()  # ≤ n_centroids rows per block — bounded partials
+        S = np.zeros((k, dim), dtype=np.int64)
+        cnt = np.zeros(k, dtype=np.int64)
+        if len(parts):
+            cells = parts["cell"].to_numpy()
+            np.add.at(S, cells, np.stack(parts["sums"].to_numpy()))
+            np.add.at(cnt, cells, parts["cnt"].to_numpy())
+        new = cents.copy()  # empty cells keep their previous centroid
+        nz = cnt > 0
+        # EXACT oracle arithmetic order: (CAST(s AS DOUBLE)/1e9)/cnt, then /L2
+        u = (S[nz].astype(np.float64) / 1e9) / cnt[nz, None]
+        new[nz] = u / np.linalg.norm(u, axis=1, keepdims=True)
+        cents = new
+        write_cents(tmp, t, cents)
+
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.isdir(final):
+            raise
+    return final
+
+
+def kmeans_fit(sf_dir: str, n_centroids: int = 16, iters: int = 3):
+    """Final trained centroids of the distributed Lloyd fit, exploded to
+    (cell, dim, val) rows. Oracle: :func:`kmeans_fit_sql` re-derives the
+    ENTIRE final iteration — assignment under the persisted t−1 centroids,
+    integer-quantized per-cell means, L2 normalization — from the raw
+    embeddings in SQL, so the clustering decision AND the update math are
+    value-checked (the same artifact-backed pattern as `minhash_pairs`).
+    Float caveat (shared with `embed_clusters`): the oracle's dot product
+    differs from numpy's by ~1 ulp, so an exactly-equidistant vector could
+    flip cells — deterministic on these fixtures."""
+    import pyarrow.parquet as pq
+
+    d = ensure_kmeans_fit(sf_dir, n_centroids, iters)
+    col = pq.read_table(os.path.join(d, f"cent_t{iters}.parquet"))
+    cents = np.asarray(
+        col["centroid"].combine_chunks().values, dtype=np.float64
+    ).reshape(len(col), -1)
+    k, dim = cents.shape
+    return pd.DataFrame(
+        {
+            "cell": np.repeat(np.arange(k, dtype=np.int64), dim),
+            "dim": np.tile(np.arange(1, dim + 1, dtype=np.int64), k),
+            "val": round_np(cents.reshape(-1), 6),
+        }
+    )
+
+
+def kmeans_fit_sql(sf_dir: str, n_centroids: int = 16, iters: int = 3) -> str:
+    prev = os.path.join(
+        ensure_kmeans_fit(sf_dir, n_centroids, iters), f"cent_t{iters - 1}.parquet"
+    )
+    return f"""
+    WITH prev AS (
+        SELECT cell, CAST(centroid AS DOUBLE[]) AS ce FROM read_parquet('{prev}')
+    ),
+    xs AS (
+        SELECT vec_id,
+               LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
+                   v -> v / SQRT(LIST_SUM(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
+                                                         u -> u * u)))) AS x
+        FROM embeddings
+    ),
+    assign AS (
+        SELECT vec_id, x, cell FROM (
+            SELECT vec_id, x, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY LIST_DOT_PRODUCT(x, ce) DESC, cell) AS rk
+            FROM xs CROSS JOIN prev
+        ) WHERE rk = 1
+    ),
+    q AS (
+        SELECT cell, UNNEST(x) AS v, GENERATE_SUBSCRIPTS(x, 1) AS dim FROM assign
+    ),
+    qq AS (SELECT cell, dim, CAST(ROUND(v * 1000000000) AS BIGINT) AS qv FROM q),
+    sums AS (SELECT cell, dim, SUM(qv) AS s, COUNT(*) AS cnt FROM qq GROUP BY 1, 2),
+    raw AS (
+        SELECT cell, dim, (CAST(s AS DOUBLE) / 1000000000.0) / cnt AS uval FROM sums
+    ),
+    nrm AS (SELECT cell, SQRT(SUM(uval * uval)) AS nv FROM raw GROUP BY 1),
+    kept AS (
+        SELECT cell, GENERATE_SUBSCRIPTS(ce, 1) AS dim, UNNEST(ce) AS val
+        FROM prev WHERE cell NOT IN (SELECT DISTINCT cell FROM sums)
+    )
+    SELECT r.cell, CAST(r.dim AS BIGINT) AS dim, ROUND(r.uval / n.nv, 6) AS val
+    FROM raw r JOIN nrm n USING (cell)
+    UNION ALL
+    SELECT cell, CAST(dim AS BIGINT) AS dim, ROUND(val, 6) AS val FROM kept
+    """

@@ -637,6 +637,7 @@ ARTIFACT_SQL_CHECKED = [
     "ann_ivf",
     "embed_clusters",
     "semdedup",
+    "kmeans_fit",
 ]
 
 
