@@ -135,6 +135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": T.tfidf_topk,
         # distributed Lloyd k-means FIT, artifact-backed update oracle (new r5)
         "kmeans_fit": S.kmeans_fit,
+        # temperature-based multilingual sampling table (new r5)
+        "lang_sample_weights": CU.lang_sample_weights,
         # relational operators (SURVEY §2.2/2.4/2.5/2.6/2.7)
         "q1_pricing_summary": R.q1_pricing_summary,
         "filter_project": R.filter_project,
@@ -265,6 +267,7 @@ def oracle_sql() -> dict[str, str]:
         "reciprocal_links": C.reciprocal_links_sql(_SF_ORACLE),
         "tfidf_topk": T.tfidf_topk_sql(),
         "kmeans_fit": S.kmeans_fit_sql(_SF_ORACLE),
+        "lang_sample_weights": CU.lang_sample_weights_sql(),
         "q1_pricing_summary": R.q1_sql(),
         "filter_project": R.filter_project_sql(),
         "segment_revenue": R.segment_revenue_sql(),

@@ -431,6 +431,7 @@ def extra_query_suite(warm: bool = True) -> tuple[dict, float]:
         ("reciprocal_links", C.reciprocal_links),
         ("tfidf_topk", T.tfidf_topk),
         ("kmeans_fit", S.kmeans_fit),
+        ("lang_sample_weights", Cu.lang_sample_weights),
     ]
     warm_sec = 0.0
     if warm:

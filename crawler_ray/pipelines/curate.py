@@ -23,7 +23,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .dedup import exact_dedup, minhash_pairs
-from .text import QualityScore
+from .rounding import round_np
+from .text import QualityScore, _read_docs
 
 from ..config import actor_pool_limits
 
@@ -852,4 +853,66 @@ def shuffle_export_sql(seed: int = 42, n_shards: int = 8) -> str:
            CAST(r % {n_shards} AS BIGINT) AS shard,
            CAST(r // {n_shards} AS BIGINT) AS pos
     FROM ranked
+    """
+
+
+def lang_sample_weights(sf_dir: str, alpha: float = 0.7):
+    """Temperature-based multilingual sampling table (the mT5 / XLM-R
+    data-mixing rule): per language, the raw corpus share p_raw = n_l/N and
+    the temperature-flattened sampling probability
+    p_temp = p_raw^alpha / Σ p_raw^alpha — what a data-mixing stage feeds
+    `stratified_mix` to up-sample tail languages.
+
+    Scale shape: ONE per-batch (lang, n) count combiner (partials bounded
+    by languages × blocks) and a language-bounded grouped sum; the
+    temperature normalization is driver math over the ≤|langs| frame, in
+    the exact oracle expression order (POW(n/N, α), then /Σ)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, ["lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.group_by(["lang"], use_threads=False)
+            .aggregate([("lang", "count")])
+            .rename_columns(["lang", "n"])
+        )
+        return pa.table({"lang": g["lang"], "n": g["n"].cast(pa.int64())})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n_docs"))
+        .to_pandas()  # bounded by language cardinality
+    )
+    counts = counts.sort_values("lang", kind="mergesort").reset_index(drop=True)
+    n = counts["n_docs"].to_numpy(dtype="float64")
+    total = float(n.sum())
+    # EXACT oracle arithmetic order: POW(n/N, alpha), then / SUM(...)
+    p_raw = n / total
+    pw = np.power(p_raw, alpha)
+    p_temp = pw / pw.sum()
+    return pd.DataFrame(
+        {
+            "lang": counts["lang"],
+            "n_docs": counts["n_docs"].astype("int64"),
+            "p_raw": round_np(p_raw, 6),
+            "p_temp": round_np(p_temp, 6),
+        }
+    )
+
+
+def lang_sample_weights_sql(alpha: float = 0.7) -> str:
+    return f"""
+    WITH c AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+    ),
+    t AS (
+        SELECT lang, n_docs,
+               CAST(n_docs AS DOUBLE) / (SELECT SUM(CAST(n_docs AS DOUBLE)) FROM c) AS p_raw
+        FROM c
+    )
+    SELECT lang, n_docs, ROUND(p_raw, 6) AS p_raw,
+           ROUND(POW(p_raw, {alpha}) / (SELECT SUM(POW(p_raw, {alpha})) FROM t), 6) AS p_temp
+    FROM t ORDER BY lang
     """

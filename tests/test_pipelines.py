@@ -59,6 +59,7 @@ SQL_CHECKED = [
     "customer_order_counts",
     "late_ship_priority",
     "tfidf_topk",
+    "lang_sample_weights",
 ]
 
 
