@@ -432,6 +432,7 @@ def extra_query_suite(warm: bool = True) -> tuple[dict, float]:
         ("tfidf_topk", T.tfidf_topk),
         ("kmeans_fit", S.kmeans_fit),
         ("lang_sample_weights", Cu.lang_sample_weights),
+        ("events_distinct_daily", R.events_distinct_daily),
     ]
     warm_sec = 0.0
     if warm:

@@ -2065,3 +2065,49 @@ def late_ship_priority_sql(
                     AND l.l_shipdate > o.o_orderdate + INTERVAL {late_days} DAY)
     GROUP BY 1 ORDER BY 1
     """
+
+
+# --------------------------------------------------------------------------- #
+def events_distinct_daily(sf_dir: str):
+    """Exact grouped COUNT(DISTINCT): distinct active users per (event_type,
+    day) — the daily-active-users table, the exact sibling of the HLL
+    sketches (`hll_distinct`, `events_hll_hourly`).
+
+    Scale shape: ONE hash exchange on user_id co-locates each user's rows,
+    so a (type, day, user) triple exists in exactly one partition and the
+    per-partition `drop_duplicates` counts are ADDITIVE — no global
+    distinct shuffle of raw triples, and the finalizing groupby is bounded
+    by types × calendar days. The per-partition kernel is one vectorized
+    dedup + grouped size; partial rows leaving the exchange are O(types ×
+    days × partitions)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["ts"].astype("int64") // (86400 * 10**6)) * 86400
+        t = pd.DataFrame(
+            {
+                "event_type": df["event_type"].to_numpy(),
+                "day": day.to_numpy(),
+                "user_id": df["user_id"].to_numpy(),
+            }
+        ).drop_duplicates()
+        g = t.groupby(["event_type", "day"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    partials = _keyed_partitions(ds, "user_id", kernel, _table_rows(sf_dir, "events"))
+    out = partials.to_pandas()  # bounded: types × days × partitions
+    out = out.groupby(["event_type", "day"], as_index=False)["n"].sum()
+    out = out.rename(columns={"n": "n_users"})
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values(["event_type", "day"], kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def events_distinct_daily_sql() -> str:
+    return """
+    SELECT event_type,
+           CAST(FLOOR(EPOCH(ts) / 86400) * 86400 AS BIGINT) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """

@@ -60,6 +60,7 @@ SQL_CHECKED = [
     "late_ship_priority",
     "tfidf_topk",
     "lang_sample_weights",
+    "events_distinct_daily",
 ]
 
 
