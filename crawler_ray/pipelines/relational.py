@@ -1931,8 +1931,12 @@ def customer_order_counts(sf_dir: str):
             }
         )
 
+    # agg_partitions (floor 8), not join_partitions (floor 1): the merge is a
+    # sort-based map_groups whose reduce merges every map fragment of a
+    # partition in one task — measured 3.3 s at one partition vs ~1 s at
+    # eight on sf0.1 (same economics as partitions.py's agg floor)
     return keyed_merge(
-        tagged, "c_custkey", kernel, join_partitions(sf_dir, "customer", "orders")
+        tagged, "c_custkey", kernel, agg_partitions(sf_dir, "customer", "orders")
     )
 
 
@@ -2045,8 +2049,9 @@ def late_ship_priority(
         )
 
     partials = keyed_merge(
-        tagged, "k", kernel, join_partitions(sf_dir, "orders", "lineitem")
-    ).to_pandas()  # ≤ 5 priorities × n_parts rows
+        tagged, "k", kernel, agg_partitions(sf_dir, "orders", "lineitem")
+    ).to_pandas()  # ≤ 5 priorities × n_parts rows; agg floor 8 — one-partition
+    # merges serialize the sort reduce (5.9 s → ~1.5 s at sf0.1)
     out = partials.groupby("o_orderpriority", as_index=False)["n"].sum()
     out = out.rename(columns={"n": "order_count"})
     out["order_count"] = out["order_count"].astype("int64")
