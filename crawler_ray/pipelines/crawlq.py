@@ -614,3 +614,161 @@ def reciprocal_links_sql(sf_dir: str) -> str:
     FROM l l1 JOIN l l2 ON l1.src = l2.dst AND l1.dst = l2.src
     WHERE l1.src < l1.dst
     """
+
+
+def link_triangles(sf_dir: str):
+    """Global triangle count over the undirected page graph — the
+    clustering-coefficient numerator (link-spam and community-structure
+    signal; triangle-dense neighborhoods are a classic link-farm tell).
+
+    Scale shape — the standard degree-oriented algorithm, every stage a
+    bounded exchange:
+      1. distinct undirected edges via ONE unordered-pair keyed merge
+         (per-batch dedup bounds partials);
+      2. degrees via ONE node-keyed merge (per-batch partial counts);
+      3. orientation rank = (degree, url): each edge points low→high rank,
+         so every out-neighborhood is O(√m) and the wedge stage's
+         per-vertex quadratic term is bounded — the property that makes
+         triangle counting feasible on power-law web graphs;
+      4. endpoint degrees attach through TWO hash-partitioned
+         `Dataset.join`s (never a driver-side degree map — node count
+         scales with the corpus);
+      5. wedges (a→b, a→c) generate per source partition with vectorized
+         repeat/tile over sorted neighbor arrays;
+      6. ONE final pair-keyed merge co-locates wedge pairs with oriented
+         edges and counts closures — triangles never materialize, only
+         per-partition partial counts reach the driver."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from .partitions import for_rows, keyed_merge
+
+    n_parts = for_rows(_corpus_meta_rows(sf_dir), 500_000, floor=4)
+    links = corpus_links(sf_dir).select_columns(["src", "dst"])
+
+    def to_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["src"] != df["dst"]]
+        fwd = (df["src"] < df["dst"]).to_numpy()
+        a = np.where(fwd, df["src"].to_numpy(), df["dst"].to_numpy())
+        b = np.where(fwd, df["dst"].to_numpy(), df["src"].to_numpy())
+        return pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+
+    edges = keyed_merge(
+        links.map_batches(to_pairs, batch_format="pandas"),
+        ["a", "b"],
+        lambda part: part.drop_duplicates(),
+        n_parts,
+    )
+
+    def degree_partial(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = np.concatenate([df["a"].to_numpy(), df["b"].to_numpy()])
+        g = pd.Series(nodes).value_counts()
+        return pd.DataFrame({"node": g.index.to_numpy(), "deg": g.to_numpy().astype("int64")})
+
+    degrees = keyed_merge(
+        edges.map_batches(degree_partial, batch_format="pandas"),
+        "node",
+        lambda part: part.groupby("node", as_index=False)["deg"].sum(),
+        n_parts,
+    )
+
+    # attach both endpoint degrees via hash joins (node table scales with data)
+    with_da = edges.join(
+        degrees, join_type="inner", num_partitions=n_parts, on=("a",), right_on=("node",)
+    ).rename_columns({"deg": "deg_a"})
+    with_db = with_da.join(
+        degrees, join_type="inner", num_partitions=n_parts, on=("b",), right_on=("node",)
+    ).rename_columns({"deg": "deg_b"})
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        # low (deg, url) -> high (deg, url): bounds out-degree at O(sqrt m)
+        a_lo = (df["deg_a"].to_numpy() < df["deg_b"].to_numpy()) | (
+            (df["deg_a"].to_numpy() == df["deg_b"].to_numpy())
+            & (df["a"].to_numpy() < df["b"].to_numpy())
+        )
+        return pd.DataFrame(
+            {
+                "src": np.where(a_lo, df["a"].to_numpy(), df["b"].to_numpy()),
+                "dst": np.where(a_lo, df["b"].to_numpy(), df["a"].to_numpy()),
+                "dst_deg": np.where(a_lo, df["deg_b"].to_numpy(), df["deg_a"].to_numpy()),
+                "dst_is_hi": np.ones(len(df), dtype=bool),
+            }
+        )
+
+    oriented = with_db.map_batches(orient, batch_format="pandas")
+
+    def wedges(part: pd.DataFrame) -> pd.DataFrame:
+        # all neighbor pairs per source, ordered by the same (deg, url) rank
+        part = part.sort_values(["src", "dst_deg", "dst"], kind="mergesort")
+        src = part["src"].to_numpy()
+        dst = part["dst"].to_numpy()
+        # segment boundaries per src
+        change = np.empty(len(part), dtype=bool)
+        if len(part):
+            change[0] = True
+            change[1:] = src[1:] != src[:-1]
+        starts = np.flatnonzero(change)
+        lens = np.diff(np.append(starts, len(part)))
+        outs = []
+        for s, L in zip(starts, lens):  # per-vertex pair expansion; L ≤ O(√m)
+            if L < 2:
+                continue
+            nb = dst[s : s + L]
+            iu, ju = np.triu_indices(L, k=1)
+            outs.append(pd.DataFrame({"p": nb[iu], "q": nb[ju]}))
+        if not outs:
+            return pd.DataFrame(
+                {"p": pd.Series([], dtype="string"), "q": pd.Series([], dtype="string")}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    wedge_ds = keyed_merge(oriented, "src", wedges, n_parts)
+
+    def tag_wedge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"p": df["p"], "q": df["q"], "is_edge": np.zeros(len(df), dtype="int64")})
+
+    def tag_edge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"p": df["src"], "q": df["dst"], "is_edge": np.ones(len(df), dtype="int64")})
+
+    tagged = wedge_ds.map_batches(tag_wedge, batch_format="pandas").union(
+        oriented.map_batches(tag_edge, batch_format="pandas")
+    )
+
+    def close(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(["p", "q"])["is_edge"].agg(["size", "max"])
+        # wedge rows per closed pair = size - n_edge_rows (edge rows are distinct)
+        closed = g[g["max"] == 1]
+        n = int((closed["size"] - 1).sum())
+        return pd.DataFrame({"n": pd.Series([n], dtype="int64")})
+
+    partials = keyed_merge(tagged, ["p", "q"], close, n_parts).to_pandas()
+    return pd.DataFrame({"n_triangles": pd.Series([int(partials["n"].sum())], dtype="int64")})
+
+
+def link_triangles_sql(sf_dir: str) -> str:
+    return f"""
+    WITH links AS ({corpus_links_sql(sf_dir)}),
+    e AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM links WHERE src <> dst
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e
+        ) GROUP BY 1
+    ),
+    o AS (
+        SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS src,
+               CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS dst
+        FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
+    ),
+    od AS (SELECT o.src, o.dst, deg.d AS dst_deg FROM o JOIN deg ON deg.node = o.dst),
+    w AS (
+        SELECT o1.dst AS p, o2.dst AS q
+        FROM od o1 JOIN od o2
+          ON o1.src = o2.src AND (o1.dst_deg, o1.dst) < (o2.dst_deg, o2.dst)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM w JOIN o ON (w.p = o.src AND w.q = o.dst) OR (w.q = o.src AND w.p = o.dst)
+    """
