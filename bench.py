@@ -433,6 +433,7 @@ def extra_query_suite(warm: bool = True) -> tuple[dict, float]:
         ("kmeans_fit", S.kmeans_fit),
         ("lang_sample_weights", Cu.lang_sample_weights),
         ("events_distinct_daily", R.events_distinct_daily),
+        ("link_triangles", C.link_triangles),
     ]
     warm_sec = 0.0
     if warm:

@@ -616,7 +616,8 @@ def reciprocal_links_sql(sf_dir: str) -> str:
     """
 
 
-def link_triangles(sf_dir: str):
+def link_triangles(sf_dir: str, distributed: bool | None = None,
+                   mem_cutoff: int = 2_000_000):
     """Global triangle count over the undirected page graph — the
     clustering-coefficient numerator (link-spam and community-structure
     signal; triangle-dense neighborhoods are a classic link-farm tell).
@@ -660,6 +661,15 @@ def link_triangles(sf_dir: str):
         lambda part: part.drop_duplicates(),
         n_parts,
     )
+
+    if distributed is None:
+        # pages × a generous max-avg-degree bound; same dual-path contract
+        # as pagerank/dup_clusters (numpy kernel small side, distributed
+        # above the cutoff, parity pinned by test)
+        distributed = _corpus_meta_rows(sf_dir) * 40 > mem_cutoff
+    if not distributed:
+        n = _link_triangles_numpy(edges.to_pandas())  # bounded: distinct edges
+        return pd.DataFrame({"n_triangles": pd.Series([n], dtype="int64")})
 
     def degree_partial(df: pd.DataFrame) -> pd.DataFrame:
         nodes = np.concatenate([df["a"].to_numpy(), df["b"].to_numpy()])
@@ -772,3 +782,42 @@ def link_triangles_sql(sf_dir: str) -> str:
     SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
     FROM w JOIN o ON (w.p = o.src AND w.q = o.dst) OR (w.q = o.src AND w.p = o.dst)
     """
+
+
+def _link_triangles_numpy(e) -> int:
+    """In-memory twin of the distributed path: identical (degree, url)
+    orientation, wedge enumeration and closure check over factorized node
+    codes — pinned equal to the distributed path by test."""
+    import numpy as np
+    import pandas as pd
+
+    if not len(e):
+        return 0
+    codes, uniq = pd.factorize(pd.concat([e["a"], e["b"]], ignore_index=True))
+    uniq = np.asarray(uniq)
+    n = len(uniq)
+    a, b = codes[: len(e)], codes[len(e) :]
+    deg = np.bincount(np.concatenate([a, b]), minlength=n)
+    lo_is_a = (deg[a] < deg[b]) | ((deg[a] == deg[b]) & (uniq[a] < uniq[b]))
+    src = np.where(lo_is_a, a, b)
+    dst = np.where(lo_is_a, b, a)
+    order = np.lexsort((uniq, deg))  # ascending (deg, url)
+    rank_of = np.empty(n, dtype=np.int64)
+    rank_of[order] = np.arange(n)
+    eset = set((src.astype(np.int64) * n + dst).tolist())
+    srt = np.lexsort((rank_of[dst], src))
+    src_s, dst_s = src[srt], dst[srt]
+    change = np.empty(len(src_s), dtype=bool)
+    change[0] = True
+    change[1:] = src_s[1:] != src_s[:-1]
+    starts = np.flatnonzero(change)
+    lens = np.diff(np.append(starts, len(src_s)))
+    tri = 0
+    for st, L in zip(starts, lens):  # out-degree ≤ O(sqrt m) by orientation
+        if L < 2:
+            continue
+        nb = dst_s[st : st + L].astype(np.int64)
+        iu, ju = np.triu_indices(L, k=1)
+        keys = nb[iu] * n + nb[ju]
+        tri += sum(1 for k in keys.tolist() if k in eset)
+    return int(tri)

@@ -86,6 +86,7 @@ def test_query_matches_duckdb(name, ray_session):
         "pagerank",
         "host_graph",
         "reciprocal_links",
+        "link_triangles",
     ],
 )
 def test_corpus_query_matches_duckdb(name, ray_session):
@@ -749,6 +750,18 @@ def test_pagerank_paths_bit_identical(ray_session):
     a = to_df(C.pagerank(sf)).sort_values("url").reset_index(drop=True)
     b = to_df(C.pagerank(sf, distributed=True)).sort_values("url").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_link_triangles_numpy_distributed_parity(ray_session):
+    """The in-memory kernel and the full distributed pipeline (degree joins
+    + wedge generation + pair-keyed closure) must count identically."""
+    from crawler_ray.pipelines import crawlq as C
+
+    sf = "/root/testdata/sf0.001"
+    a = to_df(C.link_triangles(sf))
+    b = to_df(C.link_triangles(sf, distributed=True))
+    assert a["n_triangles"].tolist() == b["n_triangles"].tolist()
+    assert a["n_triangles"].iloc[0] > 0  # fixture actually has triangles
 
 
 def test_anti_join_empty_probe_side(ray_session):
