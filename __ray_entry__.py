@@ -141,6 +141,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_daily": R.events_distinct_daily,
         # degree-oriented distributed triangle counting (new r5)
         "link_triangles": C.link_triangles,
+        # asymmetric n-gram containment over winnow candidates (new r5)
+        "containment_pairs": D.containment_pairs,
         # relational operators (SURVEY §2.2/2.4/2.5/2.6/2.7)
         "q1_pricing_summary": R.q1_pricing_summary,
         "filter_project": R.filter_project,
@@ -274,6 +276,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_sample_weights": CU.lang_sample_weights_sql(),
         "events_distinct_daily": R.events_distinct_daily_sql(),
         "link_triangles": C.link_triangles_sql(_SF_ORACLE),
+        "containment_pairs": D.containment_pairs_sql(_SF_ORACLE),
         "q1_pricing_summary": R.q1_sql(),
         "filter_project": R.filter_project_sql(),
         "segment_revenue": R.segment_revenue_sql(),

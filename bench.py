@@ -434,6 +434,7 @@ def extra_query_suite(warm: bool = True) -> tuple[dict, float]:
         ("lang_sample_weights", Cu.lang_sample_weights),
         ("events_distinct_daily", R.events_distinct_daily),
         ("link_triangles", C.link_triangles),
+        ("containment_pairs", D.containment_pairs),
     ]
     warm_sec = 0.0
     if warm:

@@ -1236,3 +1236,125 @@ def dedup_increment_sql(mod: int = 4, delta_rem: int = 0) -> str:
     WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.t = d.t)
     GROUP BY d.t
     """
+
+
+# --------------------------------------------------------------------------- #
+def containment_pairs(sf_dir: str, n: int = 3, threshold: float = 0.5):
+    """ASYMMETRIC near-dup: word-n-gram set containment |A∩B| / |A| in both
+    directions — the subset/quote detector Jaccard misses (a short doc fully
+    embedded in a long one has high containment but LOW Jaccard, so the
+    symmetric near-dup family never flags it; pretraining dedup needs both).
+
+    Candidates come from :func:`winnow_overlap_pairs` — the winnowing
+    guarantee (shared substring ≥ k+window−1 ⇒ shared fingerprint) makes
+    passage-overlap pairs exactly the containment suspects, unlike MinHash
+    candidates, whose Jaccard banding systematically misses small-in-large
+    containments. Verification is the same hash-partitioned pairs×documents
+    join + vectorized unique/bincount intersection kernel as
+    `ngram_jaccard_pairs`; only the denominator differs (each side's own
+    gram count instead of the union)."""
+    from .text import winnow_overlap_pairs
+
+    cands = winnow_overlap_pairs(sf_dir).select_columns(["a", "b"]).materialize()
+    n_pairs = cands.count()
+    if n_pairs == 0:
+        import ray.data as rd
+
+        docs_schema = _read_docs(sf_dir, ["doc_id"]).schema()
+        return rd.from_arrow(
+            _empty_pairs(
+                ("containment_ab", pa.float64()),
+                ("containment_ba", pa.float64()),
+                key_type=docs_schema.types[0],
+            )
+        )
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def verify(t: pa.Table) -> pa.Table:
+        m = len(t)
+        ta = t["text_a"].combine_chunks().to_pandas()
+        tb = t["text_b"].combine_chunks().to_pandas()
+        ha, ia = _rowwise_ngram_hashes(ta, n)
+        hb, ib = _rowwise_ngram_hashes(tb, n)
+
+        def uniq(rows, hashes):
+            s = np.empty(len(rows), dtype=[("i", "i8"), ("h", "u8")])
+            s["i"], s["h"] = rows, hashes
+            return np.unique(s)
+
+        ua, ub = uniq(ia, ha), uniq(ib, hb)
+        na = np.bincount(ua["i"], minlength=m)
+        nb = np.bincount(ub["i"], minlength=m)
+        both, cnt = np.unique(np.concatenate([ua, ub]), return_counts=True)
+        inter = np.bincount(both["i"][cnt == 2], minlength=m)
+        from .rounding import round_np
+
+        c_ab = round_np(np.where(na > 0, inter / np.maximum(na, 1), 0.0), 6)
+        c_ba = round_np(np.where(nb > 0, inter / np.maximum(nb, 1), 0.0), 6)
+        keep = np.maximum(c_ab, c_ba) >= threshold
+        out = pa.table(
+            {
+                "a": t["a"].combine_chunks(),
+                "b": t["b"].combine_chunks(),
+                "containment_ab": pa.array(c_ab, pa.float64()),
+                "containment_ba": pa.array(c_ba, pa.float64()),
+            }
+        )
+        return out.filter(pa.array(keep))
+
+    return _join_pair_sides(cands, docs, "text", n_pairs).map_batches(
+        verify, batch_format="pyarrow"
+    )
+
+
+def containment_pairs_sql(sf_dir: str, threshold: float = 0.5) -> str:
+    """Artifact oracle: winnow candidate pairs recomputed from the dumped
+    fingerprints, then exact 3-gram containment both ways in SQL — the same
+    gram CTE body as `_gram_jaccard_sql` with per-side denominators."""
+    from .text import winnow_overlap_pairs_sql
+
+    pairs = f"SELECT a, b FROM ({winnow_overlap_pairs_sql(sf_dir)}) wp"
+    return f"""
+    WITH base AS (
+        SELECT doc_id,
+               LIST_FILTER(STRING_SPLIT_REGEX(LOWER(COALESCE(text, '')), '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ), tok AS (
+        SELECT doc_id, UNNEST(toks) AS tok, GENERATE_SUBSCRIPTS(toks, 1) AS pos
+        FROM base
+    ), grams AS (
+        SELECT doc_id,
+               tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS g
+        FROM tok
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY LEAD(tok, 2) OVER w IS NOT NULL
+        UNION ALL
+        SELECT doc_id, LIST_AGGREGATE(toks, 'string_agg', ' ') AS g
+        FROM base WHERE LEN(toks) > 0 AND LEN(toks) < 3
+    ), gsets AS (
+        SELECT doc_id, COUNT(DISTINCT g) AS n_g FROM grams GROUP BY doc_id
+    ), pairs AS (
+        {pairs}
+    ), inter AS (
+        SELECT p.a, p.b, COUNT(DISTINCT ga.g) AS n_i
+        FROM pairs p
+        JOIN grams ga ON ga.doc_id = p.a
+        JOIN grams gb ON gb.doc_id = p.b AND gb.g = ga.g
+        GROUP BY p.a, p.b
+    ), scored AS (
+        SELECT p.a, p.b,
+               ROUND(CASE WHEN COALESCE(sa.n_g, 0) > 0
+                          THEN COALESCE(i.n_i, 0)::DOUBLE / GREATEST(COALESCE(sa.n_g, 0), 1)
+                          ELSE 0.0 END, 6) AS containment_ab,
+               ROUND(CASE WHEN COALESCE(sb.n_g, 0) > 0
+                          THEN COALESCE(i.n_i, 0)::DOUBLE / GREATEST(COALESCE(sb.n_g, 0), 1)
+                          ELSE 0.0 END, 6) AS containment_ba
+        FROM pairs p
+        LEFT JOIN gsets sa ON sa.doc_id = p.a
+        LEFT JOIN gsets sb ON sb.doc_id = p.b
+        LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+    )
+    SELECT a, b, containment_ab, containment_ba FROM scored
+    WHERE GREATEST(containment_ab, containment_ba) >= {threshold}
+    """

@@ -641,6 +641,7 @@ ARTIFACT_SQL_CHECKED = [
     "embed_clusters",
     "semdedup",
     "kmeans_fit",
+    "containment_pairs",
 ]
 
 
