@@ -1636,3 +1636,35 @@ def test_heavy_tokens(ray_session, tmp_path):
     assert list(got["token"]) == ["hot", "warm"]
     assert list(got["cnt"]) == [40, 20]
     assert_equivalent(heavy_tokens(str(d), k=k), heavy_tokens_sql(k=k), str(d))
+
+
+def test_containment_finds_planted_subset(ray_session, tmp_path):
+    """A short doc that is a contiguous slice of a long doc must surface with
+    containment ≈ 1.0 in the short→long direction even though its JACCARD
+    with the long doc is low — the asymmetric case the symmetric near-dup
+    family cannot flag."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.dedup import containment_pairs
+
+    long_words = [f"w{i}" for i in range(120)]
+    short = " ".join(long_words[40:60])  # 20-token contiguous slice
+    rows = {
+        "doc_id": [0, 1, 2],
+        "text": [" ".join(long_words), short, "totally unrelated filler text"],
+        "lang": ["en"] * 3,
+        "source": ["t"] * 3,
+        "n_chars": [0] * 3,
+    }
+    d = tmp_path / "subset"
+    d.mkdir()
+    pq.write_table(pa.table(rows), str(d / "documents.parquet"))
+
+    out = to_df(containment_pairs(str(d), threshold=0.5))
+    pair = out[(out["a"] == 0) & (out["b"] == 1)]
+    assert len(pair) == 1
+    # every 3-gram of the short doc is in the long doc
+    assert pair["containment_ba"].iloc[0] == 1.0
+    # ...but the Jaccard-style symmetric overlap is small (18 of 118 grams)
+    assert pair["containment_ab"].iloc[0] < 0.2
