@@ -143,6 +143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_triangles": C.link_triangles,
         # asymmetric n-gram containment over winnow candidates (new r5)
         "containment_pairs": D.containment_pairs,
+        # TPC-H-Q8-shaped per-year market-share ratio (new r5)
+        "nation_market_share": R.nation_market_share,
         # relational operators (SURVEY §2.2/2.4/2.5/2.6/2.7)
         "q1_pricing_summary": R.q1_pricing_summary,
         "filter_project": R.filter_project,
@@ -277,6 +279,7 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_daily": R.events_distinct_daily_sql(),
         "link_triangles": C.link_triangles_sql(_SF_ORACLE),
         "containment_pairs": D.containment_pairs_sql(_SF_ORACLE),
+        "nation_market_share": R.nation_market_share_sql(),
         "q1_pricing_summary": R.q1_sql(),
         "filter_project": R.filter_project_sql(),
         "segment_revenue": R.segment_revenue_sql(),

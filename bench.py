@@ -435,6 +435,7 @@ def extra_query_suite(warm: bool = True) -> tuple[dict, float]:
         ("events_distinct_daily", R.events_distinct_daily),
         ("link_triangles", C.link_triangles),
         ("containment_pairs", D.containment_pairs),
+        ("nation_market_share", R.nation_market_share),
     ]
     warm_sec = 0.0
     if warm:

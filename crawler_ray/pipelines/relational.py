@@ -2116,3 +2116,121 @@ def events_distinct_daily_sql() -> str:
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
     FROM events GROUP BY 1, 2 ORDER BY 1, 2
     """
+
+
+# --------------------------------------------------------------------------- #
+def nation_market_share(sf_dir: str, nation: str = "NATION_7"):
+    """TPC-H-Q8-shaped GROUPED revenue ratio: per order-year, the share of
+    lineitem revenue supplied by one nation's suppliers — the market-share
+    aggregate (a numerator-filter ratio per group, where `promo_revenue` is
+    its single-group special case).
+
+    Scale shape: the supplier→nation side is a broadcast set (`ray.put`
+    once, `isin` per batch); lineitem collapses per batch to ≤(orderkeys)
+    integer partial rows (rev_u, nat_u); order years attach through the
+    tagged-union orderkey co-location (`late_ship_priority`'s join shape —
+    no fact-table broadcast); each partition emits ≤(years) partial rows
+    and the driver folds a years × partitions frame. Ratio division runs
+    once per year in the exact oracle expression order."""
+    import ray
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    keys = supp.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+    target = set(keys.loc[keys["n_name"] == nation, "s_suppkey"].tolist())
+    tref = ray.put(np.fromiter(target, dtype=np.int64) if target else np.array([], dtype=np.int64))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].combine_chunks()
+        year = pc.year(od).cast(pa.int64())
+        n = len(t)
+        z = pa.array(np.zeros(n, dtype=np.int64))
+        return pa.table(
+            {
+                "k": t["o_orderkey"].combine_chunks(),
+                "year": year,
+                "rev_u": z,
+                "nat_u": z,
+                "kind": z,
+            }
+        )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        tgt = ray.get(tref)
+        price = t["l_extendedprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        u = round_np(price * (1.0 - disc) * 10000.0, 0).astype("int64")
+        sk = t["l_suppkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_nat = np.isin(sk, tgt)
+        t2 = pa.table(
+            {
+                "k": t["l_orderkey"].combine_chunks(),
+                "rev_u": pa.array(u),
+                "nat_u": pa.array(np.where(is_nat, u, 0)),
+            }
+        )
+        g = t2.group_by(["k"], use_threads=False).aggregate(
+            [("rev_u", "sum"), ("nat_u", "sum")]
+        )
+        g = g.rename_columns(["k", "rev_u", "nat_u"])
+        m = len(g)
+        return pa.table(
+            {
+                "k": g["k"],
+                "year": pa.array(np.zeros(m, dtype=np.int64)),
+                "rev_u": g["rev_u"],
+                "nat_u": g["nat_u"],
+                "kind": pa.array(np.ones(m, dtype=np.int64)),
+            }
+        )
+
+    tagged = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        _read(
+            sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+        ).map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
+    )
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["kind"] == 0]
+        li = df[df["kind"] == 1].groupby("k", as_index=False)[["rev_u", "nat_u"]].sum()
+        m = o[["k", "year"]].merge(li, on="k", how="inner")
+        g = m.groupby("year", as_index=False)[["rev_u", "nat_u"]].sum()
+        return pd.DataFrame(
+            {
+                "year": g["year"].to_numpy().astype("int64"),
+                "rev_u": g["rev_u"].to_numpy().astype("int64"),
+                "nat_u": g["nat_u"].to_numpy().astype("int64"),
+            }
+        )
+
+    partials = keyed_merge(
+        tagged, "k", kernel, agg_partitions(sf_dir, "orders", "lineitem")
+    ).to_pandas()  # ≤ years × partitions rows
+    g = partials.groupby("year", as_index=False)[["rev_u", "nat_u"]].sum()
+    # EXACT oracle arithmetic order: CAST(nat AS DOUBLE) / rev
+    share = round_np(
+        g["nat_u"].to_numpy(dtype="float64") / g["rev_u"].to_numpy(dtype="float64"), 6
+    )
+    out = pd.DataFrame(
+        {"o_year": g["year"].astype("int64"), "mkt_share": share}
+    )
+    return out.sort_values("o_year", kind="mergesort").reset_index(drop=True)
+
+
+def nation_market_share_sql(nation: str = "NATION_7") -> str:
+    return f"""
+    SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+           ROUND(
+               CAST(SUM(CASE WHEN n.n_name = '{nation}'
+                        THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+                        ELSE 0 END) AS DOUBLE)
+             / SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)),
+           6) AS mkt_share
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier s ON l_suppkey = s.s_suppkey
+    JOIN nation   n ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1 ORDER BY 1
+    """

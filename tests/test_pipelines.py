@@ -61,6 +61,7 @@ SQL_CHECKED = [
     "tfidf_topk",
     "lang_sample_weights",
     "events_distinct_daily",
+    "nation_market_share",
 ]
 
 
