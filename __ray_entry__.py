@@ -145,6 +145,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": D.containment_pairs,
         # TPC-H-Q8-shaped per-year market-share ratio (new r5)
         "nation_market_share": R.nation_market_share,
+        # stream-stream interval join: view->click attribution pairs (new r5)
+        "events_attribution": R.events_attribution,
         # relational operators (SURVEY §2.2/2.4/2.5/2.6/2.7)
         "q1_pricing_summary": R.q1_pricing_summary,
         "filter_project": R.filter_project,
@@ -280,6 +282,7 @@ def oracle_sql() -> dict[str, str]:
         "link_triangles": C.link_triangles_sql(_SF_ORACLE),
         "containment_pairs": D.containment_pairs_sql(_SF_ORACLE),
         "nation_market_share": R.nation_market_share_sql(),
+        "events_attribution": R.events_attribution_sql(),
         "q1_pricing_summary": R.q1_sql(),
         "filter_project": R.filter_project_sql(),
         "segment_revenue": R.segment_revenue_sql(),

@@ -436,6 +436,7 @@ def extra_query_suite(warm: bool = True) -> tuple[dict, float]:
         ("link_triangles", C.link_triangles),
         ("containment_pairs", D.containment_pairs),
         ("nation_market_share", R.nation_market_share),
+        ("events_attribution", R.events_attribution),
     ]
     warm_sec = 0.0
     if warm:

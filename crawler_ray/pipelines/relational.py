@@ -2234,3 +2234,86 @@ def nation_market_share_sql(nation: str = "NATION_7") -> str:
     JOIN nation   n ON s.s_nationkey = n.n_nationkey
     GROUP BY 1 ORDER BY 1
     """
+
+
+# --------------------------------------------------------------------------- #
+def events_attribution(sf_dir: str, window_s: int = 86400):
+    """Stream-stream INTERVAL join — every (view → click) pair by the same
+    user with the view inside ``window_s`` before the click: the attribution
+    op (which impression gets credit), and the join type the family still
+    lacked (as-of = nearest ONE row; interval = ALL rows in the window).
+
+    Scale shape: ONE user-hash exchange (`_keyed_partitions`) co-locates a
+    user's events; inside each partition both streams sort once by a
+    composite (user_id << 45) + ts_rel int64 key — epoch-µs offsets from
+    the partition minimum, so the
+    per-click window bounds come from TWO vectorized `searchsorted` calls
+    over the composite array (user boundaries collapse into the key; no
+    per-user Python). 45 bits of µs span ≈ 13 months per partition — wider
+    streams time-partition upstream first, the standard watermark
+    assumption for stream joins. Pair expansion is the repeat/cumsum range
+    trick —
+    no loop over clicks. Output cardinality is the true pair count, exactly
+    what the join must emit."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    w_us = window_s * 10**6
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "view_us": pd.Series([], dtype="int64"),
+                "click_us": pd.Series([], dtype="int64"),
+            }
+        )
+        views = df[df["event_type"] == "view"]
+        clicks = df[df["event_type"] == "click"]
+        if not len(views) or not len(clicks):
+            return empty
+        t0 = int(df["ts"].astype("int64").min())
+
+        def composite(part: pd.DataFrame):
+            u = part["user_id"].to_numpy(dtype="int64")
+            ts = part["ts"].astype("int64").to_numpy()
+            return u, ts, (u << 45) + (ts - t0)
+
+        vu, vts, vkey = composite(views)
+        cu, cts, ckey = composite(clicks)
+        vo = np.argsort(vkey, kind="stable")
+        vu, vts, vkey = vu[vo], vts[vo], vkey[vo]
+        # strict > (click - window), inclusive <= click — oracle's predicate
+        # + (not |): the lower bound's relative ts can be negative; clamp to
+        # -1, which sorts before every real key of the same user
+        lb = np.maximum(cts - t0 - w_us, -1)
+        lo = np.searchsorted(vkey, (cu << 45) + lb, side="right")
+        hi = np.searchsorted(vkey, (cu << 45) + (cts - t0), side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if not total:
+            return empty
+        # ranges-concat without a per-click loop
+        idx = (
+            np.arange(total)
+            - np.repeat(np.cumsum(counts) - counts, counts)
+            + np.repeat(lo, counts)
+        )
+        return pd.DataFrame(
+            {
+                "user_id": np.repeat(cu, counts),
+                "view_us": vts[idx],
+                "click_us": np.repeat(cts, counts),
+            }
+        )
+
+    return _keyed_partitions(ds, "user_id", kernel, _table_rows(sf_dir, "events"))
+
+
+def events_attribution_sql(window_s: int = 86400) -> str:
+    return f"""
+    SELECT c.user_id,
+           EPOCH_US(v.ts) AS view_us,
+           EPOCH_US(c.ts) AS click_us
+    FROM events c JOIN events v ON c.user_id = v.user_id
+    WHERE c.event_type = 'click' AND v.event_type = 'view'
+      AND v.ts <= c.ts AND v.ts > c.ts - INTERVAL {window_s} SECOND
+    """

@@ -62,6 +62,7 @@ SQL_CHECKED = [
     "lang_sample_weights",
     "events_distinct_daily",
     "nation_market_share",
+    "events_attribution",
 ]
 
 
